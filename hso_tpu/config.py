@@ -1,0 +1,72 @@
+"""Global configuration.
+
+Mirrors the reference's ``Config`` singleton defaults
+(/root/reference/src/config.cpp:28-64, /root/reference/include/hso/config.h)
+but as a plain dataclass: no singleton, explicitly passed where needed, and
+extended with the static-shape capacities a TPU build requires (XLA traces
+once per shape, so every batched kernel is sized by these paddings and uses
+validity masks instead of dynamic lengths).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass
+class Config:
+    # ---- pipeline knobs (reference: src/config.cpp:28-64) ----
+    n_pyr_levels: int = 3           #: feature/matching pyramid levels
+    core_n_kfs: int = 7             #: size of covisibility core for local BA
+    map_scale: float = 1.0          #: median scene depth after bootstrap
+    grid_size: int = 36             #: (reference legacy; cell size is derived)
+    init_min_disparity: float = 40.0
+    init_min_tracked: int = 50
+    init_min_inliers: int = 40
+    klt_max_level: int = 4          #: coarse tracker top pyramid level
+    klt_min_level: int = 0          #: coarse tracker bottom level (tracker uses min+1)
+    reproj_thresh: float = 2.0
+    poseoptim_thresh: float = 2.0
+    poseoptim_num_iter: int = 10
+    loba_thresh: float = 2.0
+    loba_robust_huber_width: float = 1.0
+    loba_num_iter: int = 10
+    kfselect_mindist: float = 0.12
+    triang_min_corner_score: float = 20.0
+    subpix_n_iter: int = 10
+    max_n_kfs: int = 2000           #: 0 means unlimited keyframes kept
+    max_fts: int = 200              #: feature budget per frame
+    quality_min_fts: int = 5
+    quality_max_drop_fts: int = 40
+    edgelet_angle: float = 0.86     #: cos(angle) gate for edgelet normal agreement
+    n_max_drop_keyframe: int = 13
+
+    # ---- coarse tracker (reference: frame_handler_mono.cpp:190-209) ----
+    coarse_n_iter: int = 30         #: LM iterations per level (ref uses <=50 w/ early stop)
+    coarse_pattern_offset: int = 2  #: first pattern table used at the top level
+
+    # ---- static-shape capacities (TPU build only) ----
+    n_fts_max: int = 384            #: feature-slot padding per frame (>= max_fts + margin)
+    n_seeds_max: int = 1536         #: depth-filter seed slots
+    n_obs_max: int = 8192           #: BA observation slots
+    n_kfs_window: int = 16          #: BA keyframe slots (free + fixed)
+    n_points_ba_max: int = 2048     #: BA point slots
+    epl_n_steps: int = 32           #: epipolar search samples per seed (ref: <=30 crop +pad)
+    align_patch_half: int = 4       #: 8x8 alignment patch (reference halfpatch_size_=4)
+    align_max_iter: int = 10
+    seed_opt_n_views: int = 16      #: target views used by seed activation refinement
+    pre_frames_max: int = 4         #: ring of recent non-KF frames for seed backfill
+
+    # ---- depth filter ----
+    seed_converge_sigma2_thresh: float = 200.0
+    max_seed_kf_batches: int = 3    #: seed lifetime in KF batches (ref options_.max_n_kfs)
+
+    # ---- photometric ----
+    exposure_light_thresh: float = 30.0  #: LIGHT_THRESHOLD in matcher.cpp:40
+
+    def __post_init__(self) -> None:
+        assert self.n_fts_max >= self.max_fts
+        assert self.klt_max_level >= self.n_pyr_levels - 1
+
+
+DEFAULT_CONFIG = Config()
