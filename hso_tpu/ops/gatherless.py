@@ -93,6 +93,22 @@ def grid_in_window(rel_u, rel_v, grid: int, win: int):
     )
 
 
+def bilinear_scatter_in_windows(
+    windows: jnp.ndarray, pu: jnp.ndarray, pv: jnp.ndarray
+) -> jnp.ndarray:
+    """Sample M *arbitrary* subpixel points per window (affine warps etc.).
+
+    windows (N, WIN, WIN); pu/pv (N, M) window coords ⇒ (N, M) values via
+    two-tap row/col weight tensors — one einsum, no gathers.  Out-of-window
+    points read 0.
+    """
+    win = windows.shape[1]
+    y = jnp.arange(win, dtype=jnp.float32)
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(pv[..., None] - y))   # (N, M, WIN)
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(pu[..., None] - y))
+    return jnp.einsum("nmy,nyx,nmx->nm", wy, windows, wx, precision=_HI)
+
+
 def sample_points(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """Scattered single-point bilinear reads as two-tap matmuls.
 

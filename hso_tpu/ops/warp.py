@@ -1,0 +1,100 @@
+"""Batched affine patch warping between views.
+
+TPU re-design of ``hso::warp`` (/root/reference/src/matcher.cpp:46-155):
+``getWarpMatrixAffine`` / ``getBestSearchLevel`` / ``warpAffine`` for ALL
+match candidates at once.  The warped 10×10 reference patches are sampled
+gather-free from per-candidate 32×32 windows via two-tap weight einsums
+(:func:`hso_tpu.ops.gatherless.bilinear_scatter_in_windows`).
+
+Candidates may reference different keyframes; callers pass a stacked image
+set and a per-candidate reference index — window extraction runs per
+reference image with masked candidates and the results are summed (one-hot
+over images), keeping everything static-shape.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from hso_tpu.ops.gatherless import (
+    bilinear_scatter_in_windows,
+    clip_anchor,
+    extract_windows,
+)
+
+BORD = 10          # bordered patch edge (patch 8 + 1px border)
+HALF_BORD = 5
+WARP_WIN = 32
+
+
+def warp_matrices(cam_ref, cam_cur, px_ref, f_ref, depth_ref, T_cur_ref, level_ref):
+    """A_cur_ref (N, 2, 2): local affine px_cur ≈ A · px_ref around the
+    feature (matcher.cpp:46-72; finite differences ``halfpatch_size=5`` along
+    the ref axes at the feature's pyramid level)."""
+    ratio = (1 << level_ref).astype(jnp.float32) if hasattr(level_ref, "dtype") else float(1 << level_ref)
+    half = 5.0
+    xyz_ref = f_ref * depth_ref[:, None]
+    du = jnp.stack([px_ref[:, 0] + half * ratio, px_ref[:, 1]], axis=-1)
+    dv = jnp.stack([px_ref[:, 0], px_ref[:, 1] + half * ratio], axis=-1)
+    f_du = cam_ref.cam2world(du)
+    f_dv = cam_ref.cam2world(dv)
+    z = xyz_ref[:, 2:3]
+    xyz_du = f_du * (z / f_du[:, 2:3])
+    xyz_dv = f_dv * (z / f_dv[:, 2:3])
+
+    def proj(p):
+        R = T_cur_ref[..., :3, :3]
+        t = T_cur_ref[..., :3, 3]
+        return cam_cur.world2cam(jnp.einsum("nij,nj->ni", R, p) + t)
+
+    px_cur = proj(xyz_ref)
+    col0 = (proj(xyz_du) - px_cur) / half
+    col1 = (proj(xyz_dv) - px_cur) / half
+    return jnp.stack([col0, col1], axis=-1), px_cur
+
+
+def best_search_level(A_cur_ref: jnp.ndarray, max_level: int) -> jnp.ndarray:
+    """Per-candidate search pyramid level (matcher.cpp:74-85): quarter the
+    warp determinant until ≤ 3."""
+    D = jnp.abs(jnp.linalg.det(A_cur_ref))
+    level = jnp.zeros(D.shape, jnp.int32)
+    for k in range(max_level):
+        level = level + (D * (0.25**k) > 3.0).astype(jnp.int32)
+    return level
+
+
+def warp_patches_border(
+    ref_img, px_ref, level_ref, A_cur_ref, search_level, valid
+):
+    """Warped 10×10 bordered reference patches (matcher.cpp:87-155, float).
+
+    ref_img      : (H, W) ref pyramid image at ``level_ref`` (single level —
+                   callers partition candidates by ref level / ref image)
+    px_ref       : (N, 2) level-0 feature coords
+    level_ref    : int (static for the partition)
+    A_cur_ref    : (N, 2, 2)
+    search_level : (N,) int target pyramid level
+    Returns (N, 10, 10) patches; invalid/out-of-window samples are 0.
+    """
+    n = px_ref.shape[0]
+    h, w = ref_img.shape
+    scale_ref = 1.0 / (1 << level_ref)
+    px_lvl_u = px_ref[:, 0] * scale_ref
+    px_lvl_v = px_ref[:, 1] * scale_ref
+
+    A_ref_cur = jnp.linalg.inv(A_cur_ref)
+    A_ref_cur = jnp.where(jnp.isfinite(A_ref_cur), A_ref_cur, 0.0)
+
+    au, av = clip_anchor(px_lvl_u, px_lvl_v, WARP_WIN, 0, h, w)
+    windows = extract_windows(ref_img, au, av, WARP_WIN)
+
+    # patch grid in cur-level pixels, scaled to the search level
+    g = jnp.arange(BORD, dtype=jnp.float32) - HALF_BORD
+    gx, gy = jnp.meshgrid(g, g)  # gy rows, gx cols
+    pts = jnp.stack([gx.reshape(-1), gy.reshape(-1)], axis=0)  # (2, M)
+    scale_s = (2.0 ** search_level.astype(jnp.float32))[:, None, None]
+    src = jnp.einsum("nij,jm->nim", A_ref_cur, pts) * scale_s
+    pu = src[:, 0, :] + px_lvl_u[:, None] - au[:, None].astype(jnp.float32)
+    pv = src[:, 1, :] + px_lvl_v[:, None] - av[:, None].astype(jnp.float32)
+    vals = bilinear_scatter_in_windows(windows, pu, pv)
+    return jnp.where(valid[:, None], vals, 0.0).reshape(n, BORD, BORD)
