@@ -1,0 +1,348 @@
+"""Probabilistic depth filter: per-seed recursive inverse-depth estimation.
+
+TPU re-design of the reference ``DepthFilter`` (/root/reference/src/
+depth_filter.cpp).  The reference runs a dedicated mapping thread that sweeps
+a seed list with a 4-worker thread pool, doing a per-seed serial epipolar
+walk (``observeDepthRow`` → ``Matcher::doLineStereo``); here the whole sweep
+is ONE jitted device call over a static seed table:
+
+  * seeds are SoA slot arrays (masked), hosts referenced through a small ring
+    of recent keyframes,
+  * each seed stores a window of its host image, extracted once at seed
+    creation — per-frame affine re-warping of the reference patch then needs
+    no host-image access at all (appearance memoization),
+  * the ±2σ inverse-depth range projects to an epipolar segment; matching is
+    the dense ZMNCC correlation search (ops/epipolar.py) + batched KLT
+    refinement (ops/align.py), partitioned by search level,
+  * measurement fusion is the reference's inverse-variance update
+    (``updateSeed``, depth_filter.cpp:527-537) with ``computeTau``
+    triangulation uncertainty (:539-555),
+  * seed lifecycle (creation from detections, aging after
+    ``max_seed_kf_batches`` keyframe batches, convergence harvesting at
+    √σ² < z_range/converge_thresh) is slot allocation with masks.
+
+Deviations (documented): the reference's idle-time backfill from pre-frames
+(``observeDepthWithPreviousFrameOnce``) and the multi-view activation
+refinement (``activatePoint``/``seedOptimizer``) are not yet implemented —
+converged seeds enter the map directly and are polished by the windowed BA.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from hso_tpu.math import se3
+from hso_tpu.ops.align import align1d, align2d, ncc
+from hso_tpu.ops.epipolar import epipolar_zmncc_search, triangulate_depth
+from hso_tpu.ops.gatherless import bilinear_scatter_in_windows, clip_anchor, extract_windows
+from hso_tpu.ops.warp import best_search_level, warp_matrices
+
+HOST_WIN = 24          #: stored host-image window edge
+SEED_FIELDS = (
+    "valid", "host", "px", "f", "level", "species", "grad",
+    "mu", "sigma2", "a", "b", "z_range", "converge_thresh", "batch_id",
+    "host_win", "host_anchor",
+)
+EDGELET = 1
+GRADIENT = 2
+
+
+def empty_seeds(s_max: int):
+    z2 = jnp.zeros((s_max,), jnp.float32)
+    return {
+        "valid": jnp.zeros((s_max,), bool),
+        "host": jnp.zeros((s_max,), jnp.int32),
+        "px": jnp.zeros((s_max, 2), jnp.float32),
+        "f": jnp.zeros((s_max, 3), jnp.float32),
+        "level": jnp.zeros((s_max,), jnp.int32),
+        "species": jnp.zeros((s_max,), jnp.int32),
+        "grad": jnp.zeros((s_max, 2), jnp.float32),
+        "mu": z2, "sigma2": z2, "a": z2, "b": z2,
+        "z_range": z2, "converge_thresh": z2,
+        "batch_id": jnp.zeros((s_max,), jnp.int32),
+        "host_win": jnp.zeros((s_max, HOST_WIN, HOST_WIN), jnp.float32),
+        "host_anchor": jnp.zeros((s_max, 2), jnp.int32),
+        "n_updates": z2,  # per-seed successful observation count (diagnostics)
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("n_levels",))
+def init_seeds(
+    seeds,
+    det,                 # detection dict from ops.detect (px/level/species/grad/valid)
+    kf_pyr,              # new keyframe pyramid (tuple)
+    f_det,               # (N,3) bearings of detections
+    host_slot,           # int32 — ring slot of the new keyframe
+    batch_id,            # int32 — keyframe batch counter
+    depth_mean,          # scalar — median scene depth (seed prior)
+    depth_min,           # scalar
+    converge_thresh,     # scalar (100 or 200, frame_handler_mono.cpp:335-338)
+    n_levels: int = 3,
+):
+    """Allocate seed slots for new detections (initializeSeeds +
+    Seed::Seed, depth_filter.cpp:55-69,164-205)."""
+    s_max = seeds["valid"].shape[0]
+    n_det = det["px"].shape[0]
+
+    # stored host windows at each detection's own level
+    win = jnp.zeros((n_det, HOST_WIN, HOST_WIN), jnp.float32)
+    anch = jnp.zeros((n_det, 2), jnp.int32)
+    for lvl in range(n_levels):
+        img = kf_pyr[lvl]
+        scale = 1.0 / (1 << lvl)
+        u = det["px"][:, 0] * scale
+        v = det["px"][:, 1] * scale
+        au, av = clip_anchor(u, v, HOST_WIN, 0, *img.shape)
+        w_l = extract_windows(img, au, av, HOST_WIN)
+        sel = det["level"] == lvl
+        win = jnp.where(sel[:, None, None], w_l, win)
+        anch = jnp.where(sel[:, None], jnp.stack([au, av], -1), anch)
+
+    # slot allocation: free slots first (argsort: False<True)
+    order = jnp.argsort(seeds["valid"].astype(jnp.int32), stable=True)
+    det_ok = det["valid"]
+    n_free = jnp.sum(~seeds["valid"])
+    take = (jnp.arange(n_det) < n_free) & det_ok
+    slot = order[jnp.arange(n_det) % s_max]
+
+    mu0 = 1.0 / jnp.maximum(depth_mean, 1e-6)
+    zr0 = 1.0 / jnp.maximum(depth_min, 1e-6)
+    sig0 = zr0 * zr0 / 36.0
+
+    def _bdim(mask, values):
+        extra = values.ndim - 1
+        return mask.reshape(mask.shape + (1,) * extra)
+
+    new = dict(seeds)
+    new["valid"] = seeds["valid"].at[slot].set(
+        jnp.where(take, True, seeds["valid"][slot])
+    )
+    assign = {
+        "host": jnp.full((n_det,), host_slot, jnp.int32),
+        "px": det["px"].astype(jnp.float32),
+        "f": f_det.astype(jnp.float32),
+        "level": det["level"],
+        "species": det["species"],
+        "grad": det["grad"].astype(jnp.float32),
+        "mu": jnp.full((n_det,), mu0, jnp.float32),
+        "sigma2": jnp.full((n_det,), sig0, jnp.float32),
+        "a": jnp.full((n_det,), 10.0, jnp.float32),
+        "b": jnp.full((n_det,), 10.0, jnp.float32),
+        "z_range": jnp.full((n_det,), zr0, jnp.float32),
+        "converge_thresh": jnp.full((n_det,), converge_thresh, jnp.float32),
+        "batch_id": jnp.full((n_det,), batch_id, jnp.int32),
+        "host_win": win,
+        "host_anchor": anch,
+        "n_updates": jnp.zeros((n_det,), jnp.float32),
+    }
+    for field, values in assign.items():
+        new[field] = seeds[field].at[slot].set(
+            jnp.where(_bdim(take, values), values, seeds[field][slot])
+        )
+    return new
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "n_levels"))
+def update_seeds(
+    seeds,
+    host_T_w,           # (R, 3, 4) ring of host keyframe poses (world→kf)
+    host_exposure,      # (R,)
+    cur_pyr,            # current frame pyramid tuple
+    cur_sobel_x, cur_sobel_y,   # tuples (n_levels)
+    T_cur_w,            # (3, 4)
+    cur_exposure,       # scalar
+    px_error_angle,     # scalar
+    cam,
+    n_levels: int = 3,
+):
+    """One observation sweep: epipolar-match every visible seed in the current
+    frame and fuse the depth measurement (updateSeedsLoop body)."""
+    s_max = seeds["valid"].shape[0]
+    T_h = host_T_w[seeds["host"]]
+    T_cur_ref = se3.mul(
+        jnp.broadcast_to(T_cur_w, T_h.shape), se3.inv(T_h)
+    )
+
+    mu = seeds["mu"]
+    sigma = jnp.sqrt(jnp.maximum(seeds["sigma2"], 0.0))
+    mu_safe = jnp.maximum(mu, 1e-10)
+    p_cur = se3.apply(T_cur_ref, seeds["f"] / mu_safe[:, None])
+    px_cur0 = cam.world2cam(p_cur)
+    visible = (
+        seeds["valid"]
+        & (p_cur[:, 2] > 0.0)
+        & cam.is_in_frame(px_cur0, border=8)
+    )
+
+    z_inv_min = mu + 2.0 * sigma               # max inverse depth (close)
+    z_inv_max = jnp.maximum(mu - 2.0 * sigma, 1e-8)
+    d_close = 1.0 / jnp.maximum(z_inv_min, 1e-10)
+    d_prior = 1.0 / mu_safe
+    d_far = 1.0 / z_inv_max
+
+    # ---- affine warp of the memoized host patch ----
+    A_cur_ref, _ = warp_matrices(
+        cam, cam, seeds["px"], seeds["f"], d_prior, T_cur_ref, seeds["level"]
+    )
+    search_level = jnp.clip(best_search_level(A_cur_ref, n_levels - 1), 0, n_levels - 1)
+    A_ref_cur = jnp.linalg.inv(A_cur_ref)
+    A_ref_cur = jnp.where(jnp.isfinite(A_ref_cur), A_ref_cur, 0.0)
+
+    gb = jnp.arange(10, dtype=jnp.float32) - 5.0
+    gxx, gyy = jnp.meshgrid(gb, gb)
+    pts = jnp.stack([gxx.reshape(-1), gyy.reshape(-1)], axis=0)   # (2,100)
+    scale_s = (2.0 ** search_level.astype(jnp.float32))[:, None, None]
+    src = jnp.einsum("nij,jm->nim", A_ref_cur, pts) * scale_s
+    lvl_scale = 1.0 / (1 << seeds["level"]).astype(jnp.float32)
+    hu = src[:, 0, :] + (seeds["px"][:, 0] * lvl_scale - seeds["host_anchor"][:, 0])[:, None]
+    hv = src[:, 1, :] + (seeds["px"][:, 1] * lvl_scale - seeds["host_anchor"][:, 1])[:, None]
+    ref_border = bilinear_scatter_in_windows(seeds["host_win"], hu, hv).reshape(-1, 10, 10)
+    exposure_ratio = cur_exposure / jnp.maximum(host_exposure[seeds["host"]], 1e-6)
+    ref_border = ref_border * exposure_ratio[:, None, None]
+    ref_patch = ref_border[:, 1:9, 1:9]
+
+    # ---- epipolar endpoints at the search level ----
+    p_close = se3.apply(T_cur_ref, seeds["f"] * d_close[:, None])
+    p_far = se3.apply(T_cur_ref, seeds["f"] * d_far[:, None])
+    geom_ok = (p_far[:, 2] > 1e-3) & (d_far > d_close * 0.999)
+    px_close0 = cam.world2cam(p_close)
+    px_far0 = cam.world2cam(p_far)
+    s_scale = (2.0 ** -search_level.astype(jnp.float32))[:, None]
+    px_close_l = px_close0 * s_scale
+    px_far_l = px_far0 * s_scale
+    epl = px_close_l - px_far_l
+    epl_len = jnp.linalg.norm(epl, axis=-1)
+    geom_ok &= jnp.isfinite(epl_len) & (epl_len > 1e-6)
+
+    # edgelet/gradient direction gate (matcher.cpp:903-910)
+    grad_cur = jnp.einsum("nij,nj->ni", A_cur_ref, seeds["grad"])
+    grad_cur = grad_cur / jnp.maximum(jnp.linalg.norm(grad_cur, axis=-1, keepdims=True), 1e-9)
+    cosangle = jnp.abs(jnp.sum(grad_cur * epl, axis=-1) / jnp.maximum(epl_len, 1e-9))
+    dir_gate = jnp.where(seeds["species"] != 0, cosangle >= 0.4, True)
+
+    active = visible & geom_ok & dir_gate
+
+    # ---- per-level epipolar search + refinement ----
+    z_meas = jnp.zeros((s_max,), jnp.float32)
+    meas_ok = jnp.zeros((s_max,), bool)
+    px_match0 = jnp.zeros((s_max, 2), jnp.float32)
+
+    for lvl in range(n_levels):
+        img = cur_pyr[lvl]
+        sel = active & (search_level == lvl)
+        sr = epipolar_zmncc_search(
+            img, ref_patch, px_far_l, px_close_l, sel
+        )
+        good = sel & sr["ok"] & (sr["score_best"] > 0.8)
+
+        # KLT refinement along the epipolar direction, fallback per species
+        r1 = align1d(
+            None, sr["epl_dir"], ref_border, sr["px_best"],
+            valid=good, windows=sr["windows"], anchors=sr["anchors"],
+            img_hw=img.shape,
+        )
+        is_corner = seeds["species"] == 0
+        r2 = align2d(
+            None, ref_border, jnp.where(r1["converged"][:, None], r1["px"], sr["px_best"]),
+            valid=good, windows=sr["windows"], anchors=sr["anchors"],
+            img_hw=img.shape,
+        )
+        rg = align1d(
+            None, grad_cur, ref_border,
+            jnp.where(r1["converged"][:, None], r1["px"], sr["px_best"]),
+            valid=good, windows=sr["windows"], anchors=sr["anchors"],
+            img_hw=img.shape,
+        )
+        px_ref_l = jnp.where(is_corner[:, None], r2["px"], rg["px"])
+        refined_ok = jnp.where(is_corner, r2["converged"], rg["converged"])
+        patch_fin = jnp.where(is_corner[:, None, None], r2["cur_patch"], rg["cur_patch"])
+        score = ncc(ref_patch, patch_fin)
+        lvl_ok = good & refined_ok & (score > 0.8)
+
+        # edgelet normal agreement in the current frame (checkNormal)
+        from hso_tpu.ops.gatherless import sample_points
+
+        gx_c = sample_points(cur_sobel_x[lvl], px_ref_l[:, 0], px_ref_l[:, 1])
+        gy_c = sample_points(cur_sobel_y[lvl], px_ref_l[:, 0], px_ref_l[:, 1])
+        gn = jnp.stack([gx_c, gy_c], -1)
+        gn = gn / jnp.maximum(jnp.linalg.norm(gn, axis=-1, keepdims=True), 1e-9)
+        normal_ok = jnp.where(
+            seeds["species"] == EDGELET,
+            jnp.sum(grad_cur * gn, axis=-1) > 0.7,
+            True,
+        )
+        lvl_ok &= normal_ok
+
+        px0 = px_ref_l * float(1 << lvl)
+        f_cur = cam.cam2world(px0)
+        z, tri_ok = triangulate_depth(T_cur_ref, seeds["f"], f_cur)
+        lvl_ok &= tri_ok & (z > 1e-6)
+
+        z_meas = jnp.where(lvl_ok, z, z_meas)
+        meas_ok = meas_ok | lvl_ok
+        px_match0 = jnp.where(lvl_ok[:, None], px0, px_match0)
+
+    # ---- fusion (computeTau + updateSeed) ----
+    T_ref_cur = se3.inv(T_cur_ref)
+    t = T_ref_cur[..., :3, 3]
+    fz = seeds["f"] * z_meas[:, None]
+    a_vec = fz - t
+    t_norm = jnp.maximum(jnp.linalg.norm(t, axis=-1), 1e-12)
+    a_norm = jnp.maximum(jnp.linalg.norm(a_vec, axis=-1), 1e-12)
+    alpha = jnp.arccos(jnp.clip(jnp.sum(seeds["f"] * t, -1) / t_norm, -1.0, 1.0))
+    beta = jnp.arccos(jnp.clip(jnp.sum(a_vec * -t, -1) / (t_norm * a_norm), -1.0, 1.0))
+    beta_plus = beta + px_error_angle
+    gamma_plus = jnp.pi - alpha - beta_plus
+    z_plus = t_norm * jnp.sin(beta_plus) / jnp.maximum(jnp.sin(gamma_plus), 1e-9)
+    tau = z_plus - z_meas
+    z_safe = jnp.maximum(z_meas, 1e-9)
+    tau_inv = 0.5 * (1.0 / jnp.maximum(1e-7, z_safe - tau) - 1.0 / (z_safe + tau))
+    tau2 = tau_inv * tau_inv
+
+    x = 1.0 / z_safe
+    id_var = seeds["sigma2"] * 1.01
+    wf = tau2 / jnp.maximum(tau2 + id_var, 1e-20)
+    new_mu = (1.0 - wf) * x + wf * seeds["mu"]
+    new_var = id_var * wf
+
+    upd = meas_ok & jnp.isfinite(new_mu) & jnp.isfinite(new_var) & (tau2 > 0)
+    out = dict(seeds)
+    out["mu"] = jnp.where(upd, jnp.where(jnp.abs(new_mu) < 1e-10, 1e-10, new_mu), seeds["mu"])
+    out["sigma2"] = jnp.where(upd & (new_var < seeds["sigma2"]), new_var, seeds["sigma2"])
+    out["b"] = jnp.where(visible & ~meas_ok, seeds["b"] + 1.0, seeds["b"])
+    out["n_updates"] = seeds["n_updates"] + upd.astype(jnp.float32)
+
+    return out, {
+        "n_visible": jnp.sum(visible.astype(jnp.int32)),
+        "n_updated": jnp.sum(upd.astype(jnp.int32)),
+        "px_match": px_match0,
+        "matched": upd,
+    }
+
+
+@jax.jit
+def harvest_and_prune(seeds, batch_counter, max_batches: int = 3):
+    """Extract converged seeds and kill stale ones (updateSeeds tail,
+    depth_filter.cpp:375-498).
+
+    Returns (seeds', converged mask, converged snapshot fields)."""
+    sigma = jnp.sqrt(jnp.maximum(seeds["sigma2"], 0.0))
+    converged = seeds["valid"] & (
+        sigma < seeds["z_range"] / jnp.maximum(seeds["converge_thresh"], 1e-6)
+    )
+    mu_ok = (seeds["mu"] > 1e-10) & ((seeds["f"][:, 2] / jnp.maximum(seeds["mu"], 1e-10)) > 1e-10)
+    converged &= mu_ok
+    stale = seeds["valid"] & (
+        (batch_counter - seeds["batch_id"]) > max_batches
+    )
+    out = dict(seeds)
+    out["valid"] = seeds["valid"] & ~converged & ~stale
+    snapshot = {
+        "host": seeds["host"], "px": seeds["px"], "f": seeds["f"],
+        "level": seeds["level"], "species": seeds["species"],
+        "grad": seeds["grad"], "mu": seeds["mu"], "sigma2": seeds["sigma2"],
+    }
+    return out, converged, snapshot

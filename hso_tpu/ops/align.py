@@ -64,10 +64,12 @@ def _in_window(rel, extent):
     return (rel >= 0.0) & (rel + PATCH - 1 <= extent - 1.0)
 
 
-def align2d(cur_img, ref_border, px_init, n_iter: int = 10, valid=None):
+def align2d(cur_img, ref_border, px_init, n_iter: int = 10, valid=None,
+            windows=None, anchors=None, img_hw=None):
     """Batched align2D.
 
-    cur_img    : (H, W) float32 search image (one pyramid level)
+    cur_img    : (H, W) float32 search image (one pyramid level), or None
+                 when prebuilt ``windows`` + ``anchors`` + ``img_hw`` are given
     ref_border : (N, 10, 10) warped+exposure-compensated template w/ border
     px_init    : (N, 2) initial pixel estimates in cur_img coords
     valid      : (N,) bool mask of live candidates
@@ -75,7 +77,7 @@ def align2d(cur_img, ref_border, px_init, n_iter: int = 10, valid=None):
     Returns dict(px, converged, chi2, cur_patch, mean_diff).
     """
     n = ref_border.shape[0]
-    h, w = cur_img.shape
+    h, w = cur_img.shape if cur_img is not None else img_hw
     if valid is None:
         valid = jnp.ones((n,), bool)
     ref, dx, dy = _template_grads(ref_border)
@@ -88,12 +90,16 @@ def align2d(cur_img, ref_border, px_init, n_iter: int = 10, valid=None):
 
     u0 = px_init[:, 0]
     v0 = px_init[:, 1]
-    au, av, windows = _extract(cur_img, u0, v0)
+    if windows is None:
+        au, av, windows = _extract(cur_img, u0, v0)
+    else:
+        au, av = anchors
+    win_n = windows.shape[1]
 
     def body(_, carry):
         u, v, mean_diff, chi2, active, conv = carry
         patch, rel_u, rel_v = _sample(windows, au, av, u, v)
-        inb = _in_image(u, v, h, w) & _in_window(rel_u, WIN) & _in_window(rel_v, WIN)
+        inb = _in_image(u, v, h, w) & _in_window(rel_u, win_n) & _in_window(rel_v, win_n)
         active = active & inb & jnp.isfinite(u) & jnp.isfinite(v)
 
         res = patch - ref + mean_diff[:, None, None]
@@ -125,11 +131,12 @@ def align2d(cur_img, ref_border, px_init, n_iter: int = 10, valid=None):
     }
 
 
-def align1d(cur_img, direction, ref_border, px_init, n_iter: int = 10, valid=None):
+def align1d(cur_img, direction, ref_border, px_init, n_iter: int = 10, valid=None,
+            windows=None, anchors=None, img_hw=None):
     """Batched align1D: motion restricted to ``direction`` (N, 2), plus a
     mean-intensity DoF (feature_alignment.cpp:164-310)."""
     n = ref_border.shape[0]
-    h, w = cur_img.shape
+    h, w = cur_img.shape if cur_img is not None else img_hw
     if valid is None:
         valid = jnp.ones((n,), bool)
     ref, dx, dy = _template_grads(ref_border)
@@ -145,12 +152,16 @@ def align1d(cur_img, direction, ref_border, px_init, n_iter: int = 10, valid=Non
 
     u0 = px_init[:, 0]
     v0 = px_init[:, 1]
-    au, av, windows = _extract(cur_img, u0, v0)
+    if windows is None:
+        au, av, windows = _extract(cur_img, u0, v0)
+    else:
+        au, av = anchors
+    win_n = windows.shape[1]
 
     def body(_, carry):
         u, v, mean_diff, chi2, active, conv = carry
         patch, rel_u, rel_v = _sample(windows, au, av, u, v)
-        inb = _in_image(u, v, h, w) & _in_window(rel_u, WIN) & _in_window(rel_v, WIN)
+        inb = _in_image(u, v, h, w) & _in_window(rel_u, win_n) & _in_window(rel_v, win_n)
         active = active & inb & jnp.isfinite(u) & jnp.isfinite(v)
 
         res = patch - ref + mean_diff[:, None, None]

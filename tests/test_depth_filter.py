@@ -1,0 +1,118 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from hso_tpu.cameras import PinholeCamera
+from hso_tpu.image.pyramid import build_frame_pyramids
+from hso_tpu.math import se3np
+from hso_tpu.mapping.depth_filter import (
+    empty_seeds,
+    harvest_and_prune,
+    init_seeds,
+    update_seeds,
+)
+from hso_tpu.ops.detect import detect_features, occupancy_grid
+from hso_tpu.utils.synthetic import PlaneScene
+
+S_MAX = 512
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cam = PinholeCamera(640, 480, 400.0, 400.0, 320.0, 240.0)
+    scene = PlaneScene(cam, z0=2.0, extent=3.0, seed=11)
+    kf_img = scene.render()
+    kf = build_frame_pyramids(jnp.asarray(kf_img))
+    occ = jnp.zeros((-(-480 // 32), -(-640 // 32)), bool)
+    det = detect_features(
+        kf["pyr"][:3], kf["sobel_x"], kf["sobel_y"], kf["grad_mean"], occ, n_out=256
+    )
+    f_det = cam.cam2world(np.asarray(det["px"])).astype(np.float32)
+    seeds = empty_seeds(S_MAX)
+    # prior: mean depth 3.0 (true ~2.0-2.6), depth_min 1.0
+    seeds = init_seeds(
+        seeds, det, kf["pyr"], jnp.asarray(f_det), 0, 1, 3.0, 1.0, 150.0
+    )
+    return dict(cam=cam, scene=scene, kf=kf, det=det, seeds=seeds)
+
+
+def test_init_seeds_allocates(setup):
+    seeds = setup["seeds"]
+    n_det = int(np.asarray(setup["det"]["valid"]).sum())
+    assert int(np.asarray(seeds["valid"]).sum()) == n_det
+    mu = np.asarray(seeds["mu"])[np.asarray(seeds["valid"])]
+    np.testing.assert_allclose(mu, 1.0 / 3.0, atol=1e-6)
+
+
+def test_seeds_converge_to_true_depth(setup):
+    cam, scene = setup["cam"], setup["scene"]
+    seeds = setup["seeds"]
+    host_T = jnp.asarray(
+        np.stack([se3np.identity()] * 4).astype(np.float32)
+    )
+    host_exp = jnp.ones((4,), jnp.float32)
+    px_err_angle = float(np.arctan(1.0 / (2.0 * cam.focal_mean)) * 2.0)
+
+    rng = np.random.default_rng(0)
+    n_upd_total = 0
+    for k in range(1, 7):
+        # sideways translation (good parallax for depth)
+        xi = np.r_[0.06 * k, 0.02 * k, 0.01 * k, 0.0, 0.0, 0.0]
+        T_cur_w = se3np.exp(xi)
+        img = scene.render(T_cur_w)
+        cur = build_frame_pyramids(jnp.asarray(img))
+        seeds, stats = update_seeds(
+            seeds, host_T, host_exp, cur["pyr"], cur["sobel_x"], cur["sobel_y"],
+            jnp.asarray(T_cur_w, jnp.float32), 1.0, px_err_angle, cam,
+        )
+        n_upd_total += int(stats["n_updated"])
+
+    valid = np.asarray(seeds["valid"])
+    assert n_upd_total > valid.sum() * 2, n_upd_total
+
+    upd_mask = valid & (np.asarray(seeds["n_updates"]) >= 3)
+    assert upd_mask.sum() > 0.4 * valid.sum()
+    px = np.asarray(seeds["px"])[upd_mask]
+    mu = np.asarray(seeds["mu"])[upd_mask]
+    d_gt = scene.depth_along_ray(px.astype(np.float64))
+    rel_err = np.abs(1.0 / mu - d_gt) / d_gt
+    assert np.median(rel_err) < 0.02, np.median(rel_err)
+
+    # uncertainty must have contracted
+    sig = np.sqrt(np.asarray(seeds["sigma2"])[upd_mask])
+    zr = np.asarray(seeds["z_range"])[upd_mask]
+    assert np.median(sig / zr) < 0.05
+
+    # harvest: some should be converged now
+    seeds2, conv, snap = harvest_and_prune(seeds, 2)
+    assert int(np.asarray(conv).sum()) > 10
+    # converged removed from live set
+    assert int(np.asarray(seeds2["valid"]).sum()) == valid.sum() - int(np.asarray(conv).sum())
+
+
+def test_prune_stale(setup):
+    seeds = setup["seeds"]
+    # batch counter far in the future: all seeds stale
+    seeds2, conv, _ = harvest_and_prune(seeds, 100)
+    assert int(np.asarray(seeds2["valid"]).sum()) == 0
+
+
+def test_no_update_without_parallax(setup):
+    """Pure rotation gives no depth information: seeds should survive but
+    gain nothing (epl degenerates to a point)."""
+    cam, scene = setup["cam"], setup["scene"]
+    seeds = setup["seeds"]
+    host_T = jnp.asarray(np.stack([se3np.identity()] * 4).astype(np.float32))
+    host_exp = jnp.ones((4,), jnp.float32)
+    T_cur_w = se3np.exp(np.r_[0, 0, 0, 0.0, 0.02, 0.0])
+    img = scene.render(T_cur_w)
+    cur = build_frame_pyramids(jnp.asarray(img))
+    seeds2, stats = update_seeds(
+        seeds, host_T, host_exp, cur["pyr"], cur["sobel_x"], cur["sobel_y"],
+        jnp.asarray(T_cur_w, jnp.float32), 1.0, 0.004, cam,
+    )
+    mu0 = np.asarray(seeds["mu"])
+    mu1 = np.asarray(seeds2["mu"])
+    valid = np.asarray(seeds["valid"])
+    # variance can only shrink slightly; mean must not run away
+    assert np.abs(mu1[valid] - mu0[valid]).max() < 0.2
