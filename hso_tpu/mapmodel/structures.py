@@ -1,0 +1,139 @@
+"""Map data model: frames, keyframes, the global point table.
+
+TPU re-design of the reference's pointer-graph map (Frame/Feature/Point/Map,
+/root/reference/src/{frame,point,map}.cpp): everything is fixed-capacity
+struct-of-arrays with validity masks.
+
+  * ``PointTable`` — the global landmark store.  Each row snapshots its host
+    feature (bearing, level, gradient) AND a 24×24 window of the host image
+    ("appearance memoization"), so re-warping reference patches for matching
+    never touches old keyframe pyramids; host poses are read live from the
+    ``kf_poses`` array (updated by BA).  This replaces Point::hostFeature_ +
+    the per-Point obs list; observations live in per-frame obs tables
+    (slot → point_id back-references), which is what BA, covisibility and
+    the coarse tracker actually consume.
+  * ``FrameObs`` — per-frame observation table (reprojector matches; for
+    keyframes these persist as BA edges).
+  * ``Keyframe`` — host-side record: pose (float64), photometric stats,
+    obs table, and (while recent) the device pyramid for seed hosting.
+
+Host numpy mirrors exist for branchy bookkeeping; device arrays feed kernels.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from hso_tpu.math import se3np
+
+# point types (Point::PointType lifecycle, point.h:48-187)
+TYPE_DELETED = 0
+TYPE_TEMPORARY = 1
+TYPE_CANDIDATE = 2
+TYPE_UNKNOWN = 3
+TYPE_GOOD = 4
+
+HOST_WIN = 24
+
+
+class PointTable:
+    """Fixed-capacity landmark SoA (host numpy; device copies made on use)."""
+
+    def __init__(self, p_max: int = 4096):
+        self.p_max = p_max
+        self.valid = np.zeros(p_max, bool)
+        self.type = np.zeros(p_max, np.int32)
+        self.host_kf = np.zeros(p_max, np.int32)       # global kf index
+        self.host_px = np.zeros((p_max, 2), np.float32)
+        self.host_f = np.zeros((p_max, 3), np.float32)
+        self.host_level = np.zeros(p_max, np.int32)
+        self.species = np.zeros(p_max, np.int32)       # corner/edgelet/gradient
+        self.grad = np.zeros((p_max, 2), np.float32)
+        self.idist = np.zeros(p_max, np.float32)
+        self.host_win = np.zeros((p_max, HOST_WIN, HOST_WIN), np.float32)
+        self.host_anchor = np.zeros((p_max, 2), np.int32)
+        self.n_succ = np.zeros(p_max, np.int32)
+        self.n_fail = np.zeros(p_max, np.int32)
+        self._free = list(range(p_max - 1, -1, -1))
+
+    def alloc(self, n: int) -> np.ndarray:
+        take = min(n, len(self._free))
+        idx = np.array([self._free.pop() for _ in range(take)], np.int32)
+        return idx
+
+    def release(self, idx) -> None:
+        for i in np.atleast_1d(idx):
+            if self.valid[i]:
+                self.valid[i] = False
+                self.type[i] = TYPE_DELETED
+                self._free.append(int(i))
+
+    def positions(self, kf_poses: np.ndarray) -> np.ndarray:
+        """World positions from host anchoring: T_host_w⁻¹ · (f/idist)."""
+        T_h = kf_poses[self.host_kf]
+        p_h = self.host_f / np.maximum(self.idist, 1e-10)[:, None]
+        return se3np.apply(se3np.inv(T_h), p_h.astype(np.float64))
+
+
+def empty_obs(n_max: int) -> dict:
+    """Per-frame observation table."""
+    return {
+        "valid": np.zeros(n_max, bool),
+        "px": np.zeros((n_max, 2), np.float32),
+        "f": np.zeros((n_max, 3), np.float32),
+        "level": np.zeros(n_max, np.int32),
+        "species": np.zeros(n_max, np.int32),
+        "grad": np.zeros((n_max, 2), np.float32),
+        "point_id": np.full(n_max, -1, np.int32),
+    }
+
+
+@dataclasses.dataclass
+class Frame:
+    frame_id: int
+    timestamp: float
+    T_f_w: np.ndarray                      # (3,4) float64, world→frame
+    data: dict                             # device pyramid bundle (pyr/sobel/stats)
+    exposure: float = 1.0
+    obs: dict = None                       # observation table (set by reprojector)
+    is_keyframe: bool = False
+    kf_index: int = -1                     # global keyframe index
+    grad_mean: float = 10.0
+    intensity_mean: float = 128.0
+
+    def pos(self) -> np.ndarray:
+        return se3np.translation(se3np.inv(self.T_f_w))
+
+
+class KeyframeWindow:
+    """Global keyframe registry: poses device-syncable, recent pyramids kept."""
+
+    def __init__(self, k_all_max: int = 1024, recent: int = 8):
+        self.k_all_max = k_all_max
+        self.poses = np.tile(se3np.identity()[None], (k_all_max, 1, 1))
+        self.exposure = np.ones(k_all_max, np.float32)
+        self.frames: list[Frame] = []      # all keyframes (host records)
+        self.recent = recent
+
+    def add(self, frame: Frame) -> int:
+        idx = len(self.frames)
+        assert idx < self.k_all_max
+        frame.is_keyframe = True
+        frame.kf_index = idx
+        self.poses[idx] = frame.T_f_w
+        self.exposure[idx] = frame.exposure
+        self.frames.append(frame)
+        # drop device pyramids of keyframes that left the recent window
+        if len(self.frames) > self.recent:
+            old = self.frames[-self.recent - 1]
+            old.data = None
+        return idx
+
+    def sync_pose(self, idx: int, T: np.ndarray) -> None:
+        self.poses[idx] = T
+        self.frames[idx].T_f_w = T
+
+    def last(self) -> Frame:
+        return self.frames[-1]

@@ -191,15 +191,12 @@ def update_seeds(
     A_ref_cur = jnp.linalg.inv(A_cur_ref)
     A_ref_cur = jnp.where(jnp.isfinite(A_ref_cur), A_ref_cur, 0.0)
 
-    gb = jnp.arange(10, dtype=jnp.float32) - 5.0
-    gxx, gyy = jnp.meshgrid(gb, gb)
-    pts = jnp.stack([gxx.reshape(-1), gyy.reshape(-1)], axis=0)   # (2,100)
-    scale_s = (2.0 ** search_level.astype(jnp.float32))[:, None, None]
-    src = jnp.einsum("nij,jm->nim", A_ref_cur, pts) * scale_s
-    lvl_scale = 1.0 / (1 << seeds["level"]).astype(jnp.float32)
-    hu = src[:, 0, :] + (seeds["px"][:, 0] * lvl_scale - seeds["host_anchor"][:, 0])[:, None]
-    hv = src[:, 1, :] + (seeds["px"][:, 1] * lvl_scale - seeds["host_anchor"][:, 1])[:, None]
-    ref_border = bilinear_scatter_in_windows(seeds["host_win"], hu, hv).reshape(-1, 10, 10)
+    from hso_tpu.ops.warp import warp_from_stored_windows
+
+    ref_border = warp_from_stored_windows(
+        seeds["host_win"], seeds["host_anchor"], seeds["px"], seeds["level"],
+        A_ref_cur, search_level,
+    )
     exposure_ratio = cur_exposure / jnp.maximum(host_exposure[seeds["host"]], 1e-6)
     ref_border = ref_border * exposure_ratio[:, None, None]
     ref_patch = ref_border[:, 1:9, 1:9]

@@ -63,6 +63,24 @@ def best_search_level(A_cur_ref: jnp.ndarray, max_level: int) -> jnp.ndarray:
     return level
 
 
+def warp_from_stored_windows(
+    host_win, host_anchor, px_host, host_level, A_ref_cur, search_level
+):
+    """Warped 10×10 bordered reference patches sampled from memoized host
+    windows (no host-image access).  ``px_host`` are level-0 coords;
+    ``host_level`` (N,) the level the window was extracted at."""
+    n = host_win.shape[0]
+    g = jnp.arange(BORD, dtype=jnp.float32) - HALF_BORD
+    gx, gy = jnp.meshgrid(g, g)
+    pts = jnp.stack([gx.reshape(-1), gy.reshape(-1)], axis=0)
+    scale_s = (2.0 ** search_level.astype(jnp.float32))[:, None, None]
+    src = jnp.einsum("nij,jm->nim", A_ref_cur, pts) * scale_s
+    lvl_scale = 1.0 / (1 << host_level).astype(jnp.float32)
+    hu = src[:, 0, :] + (px_host[:, 0] * lvl_scale - host_anchor[:, 0])[:, None]
+    hv = src[:, 1, :] + (px_host[:, 1] * lvl_scale - host_anchor[:, 1])[:, None]
+    return bilinear_scatter_in_windows(host_win, hu, hv).reshape(n, BORD, BORD)
+
+
 def warp_patches_border(
     ref_img, px_ref, level_ref, A_cur_ref, search_level, valid
 ):

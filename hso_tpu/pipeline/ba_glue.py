@@ -1,0 +1,210 @@
+"""Covisibility window selection + BA observation assembly / writeback.
+
+Host-side glue between the map model and the device BA solver, re-designing
+``FrameHandlerMono::createCovisibilityGraph`` (/root/reference/src/
+frame_handler_mono.cpp:559-647, ORB-SLAM-style shared-point counting) and the
+setup/teardown halves of ``ba::LocalBundleAdjustment``
+(/root/reference/src/bundle_adjustment.cpp:556-897):
+
+  * core = keyframes sharing ≥ threshold points with the centre KF (top
+    ``core_n_kfs``), plus the last KF and the centre,
+  * KF 0 and keyframes older than 20 keyframe-ids are held fixed; hosts and
+    targets outside the core enter as fixed vertices,
+  * observations = every (keyframe, feature-slot) referencing a windowed
+    point, host frames excluded (the host constraint enters through the
+    inverse-distance parameterisation),
+  * after the solve: pose/idist writeback and outlier-observation stripping.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from hso_tpu.ba.local_ba import local_bundle_adjustment
+from hso_tpu.math import se3np
+
+
+def covisible_keyframes(handler, center) -> list[int]:
+    """Counts of shared map points between center and earlier keyframes."""
+    o = center.obs
+    seen = set(o["point_id"][o["valid"] & (o["point_id"] >= 0)].tolist())
+    if not seen:
+        return []
+    counts = []
+    for kf in handler.kfs.frames[:-1]:
+        ko = kf.obs
+        pids = ko["point_id"][ko["valid"] & (ko["point_id"] >= 0)]
+        c = sum(1 for p in pids.tolist() if p in seen)
+        counts.append((c, kf.kf_index))
+    n_inliers = len(seen)
+    th = 5 if n_inliers > 30 else 3
+    counts.sort(key=lambda t: (-t[0], t[1]))
+    core = [k for c, k in counts if c >= th][: handler.cfg.core_n_kfs]
+    if not core and counts:
+        core = [counts[0][1]]
+    last_kf = handler.kfs.frames[-2].kf_index if len(handler.kfs.frames) > 1 else None
+    if last_kf is not None and last_kf not in core:
+        core.append(last_kf)
+    return core
+
+
+def run_local_ba(handler, center) -> dict | None:
+    cfg = handler.cfg
+    K = cfg.n_kfs_window
+    P = cfg.n_points_ba_max
+    E = cfg.n_obs_max
+
+    core = covisible_keyframes(handler, center)
+    window = core + [center.kf_index]
+
+    # ---- points observed by the window ----
+    pts = handler.points
+    point_set: list[int] = []
+    point_slot = {}
+    for k in window:
+        ko = handler.kfs.frames[k].obs
+        for p in ko["point_id"][ko["valid"] & (ko["point_id"] >= 0)].tolist():
+            if p not in point_slot and pts.valid[p]:
+                if len(point_set) >= P:
+                    break
+                point_slot[p] = len(point_set)
+                point_set.append(p)
+
+    if len(point_set) < 8:
+        return None
+
+    # ---- keyframe slots: window first (free per fixation rules), then
+    # fixed hosts/targets as encountered ----
+    kf_slot = {}
+    free_flags = []
+
+    def slot_of(kf_idx: int, free: bool) -> int | None:
+        if kf_idx in kf_slot:
+            return kf_slot[kf_idx]
+        if len(kf_slot) >= K:
+            return None
+        kf_slot[kf_idx] = len(kf_slot)
+        free_flags.append(free)
+        return kf_slot[kf_idx]
+
+    center_id = center.kf_index
+    for k in window:
+        is_free = not (k == 0 or k + 20 < center_id)
+        slot_of(k, is_free)
+    for p in point_set:
+        slot_of(int(pts.host_kf[p]), False)
+
+    # ---- observation edges: all obs of windowed points, host frame excluded ----
+    obs_rows = []
+    for kf in handler.kfs.frames:
+        ko = kf.obs
+        mask = ko["valid"] & (ko["point_id"] >= 0)
+        idxs = np.where(mask)[0]
+        for i in idxs:
+            p = int(ko["point_id"][i])
+            s = point_slot.get(p)
+            if s is None:
+                continue
+            if kf.kf_index == int(pts.host_kf[p]):
+                continue
+            t = slot_of(kf.kf_index, False)
+            if t is None:
+                continue
+            obs_rows.append((s, t, kf.kf_index, i, p))
+            if len(obs_rows) >= E:
+                break
+        if len(obs_rows) >= E:
+            break
+
+    if len(obs_rows) < 8:
+        return None
+
+    n_obs = len(obs_rows)
+    obs_point = np.zeros(E, np.int32)
+    obs_target = np.zeros(E, np.int32)
+    obs_host = np.zeros(E, np.int32)
+    f_host = np.zeros((E, 3), np.float32)
+    meas = np.zeros((E, 2), np.float32)
+    grad = np.zeros((E, 2), np.float32)
+    is_edge = np.zeros(E, bool)
+    level = np.zeros(E, np.int32)
+    valid = np.zeros(E, bool)
+    src = []  # (kf_index, slot) for writeback
+
+    for e, (s, t, kf_idx, i, p) in enumerate(obs_rows):
+        ko = handler.kfs.frames[kf_idx].obs
+        obs_point[e] = s
+        obs_target[e] = t
+        obs_host[e] = kf_slot[int(pts.host_kf[p])]
+        f_host[e] = pts.host_f[p]
+        f = ko["f"][i]
+        meas[e] = f[:2] / max(f[2], 1e-9)
+        grad[e] = ko["grad"][i]
+        is_edge[e] = ko["species"][i] == 1
+        level[e] = ko["level"][i]
+        valid[e] = True
+        src.append((kf_idx, i))
+
+    # ---- pack keyframes / points ----
+    T_kf = np.tile(se3np.identity()[None], (K, 1, 1)).astype(np.float32)
+    free = np.zeros(K, bool)
+    for kf_idx, s in kf_slot.items():
+        T_kf[s] = handler.kfs.poses[kf_idx]
+        free[s] = free_flags[s]
+    idist = np.zeros(P, np.float32)
+    pvalid = np.zeros(P, bool)
+    for p, s in point_slot.items():
+        idist[s] = pts.idist[p]
+        pvalid[s] = True
+
+    obs = {
+        "point": jnp.asarray(obs_point),
+        "target": jnp.asarray(obs_target),
+        "host": jnp.asarray(obs_host),
+        "f_host": jnp.asarray(f_host),
+        "meas": jnp.asarray(meas),
+        "grad": jnp.asarray(grad),
+        "is_edgelet": jnp.asarray(is_edge),
+        "level": jnp.asarray(level),
+        "valid": jnp.asarray(valid),
+    }
+
+    n_iter = cfg.loba_num_iter
+    if len(handler.kfs.frames) <= 5:
+        n_iter = 30
+    out = local_bundle_adjustment(
+        jnp.asarray(T_kf), jnp.asarray(free), jnp.asarray(idist),
+        jnp.asarray(pvalid), obs, n_kf=K, n_pts=P, n_iter=n_iter,
+        focal=float(handler.cam.focal_mean),
+    )
+
+    # ---- writeback ----
+    T_new = np.asarray(out["T_kf"], np.float64)
+    for kf_idx, s in kf_slot.items():
+        if free[s]:
+            handler.kfs.sync_pose(kf_idx, se3np.normalize(T_new[s]))
+            if kf_idx == center.kf_index:
+                center.T_f_w = handler.kfs.poses[kf_idx]
+    id_new = np.asarray(out["idist"])
+    for p, s in point_slot.items():
+        if id_new[s] > 1e-10:
+            pts.idist[p] = id_new[s]
+
+    inl = np.asarray(out["obs_inlier"])
+    n_strip = 0
+    for e, (kf_idx, i) in enumerate(src):
+        if not inl[e]:
+            ko = handler.kfs.frames[kf_idx].obs
+            ko["point_id"][i] = -1
+            ko["valid"][i] = False
+            n_strip += 1
+
+    return {
+        "n_obs": n_obs,
+        "n_points": len(point_set),
+        "n_kfs": len(kf_slot),
+        "n_stripped": n_strip,
+        "chi2_init": float(out["chi2_init"]),
+        "chi2_final": float(out["chi2_final"]),
+    }

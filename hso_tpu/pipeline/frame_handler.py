@@ -1,0 +1,617 @@
+"""The per-frame pipeline state machine.
+
+TPU re-design of ``FrameHandlerMono`` (/root/reference/src/
+frame_handler_mono.cpp) — thin host orchestration over the batched device
+kernels; the reference's tracking/mapping thread pair becomes a deterministic
+synchronous sequence (tracking, then the mapping sweep, each one device
+dispatch).
+
+Stages (frame_handler_base.h:51-57): FIRST_FRAME → SECOND_FRAME →
+DEFAULT_FRAME ⇄ RELOCALIZING.  The DEFAULT path per frame:
+
+  coarse track (vs last frame) → reproject map into grid + batched direct
+  matching → motion-only pose LM → tracking-quality gate → keyframe
+  criterion → [KF: covisibility window + Schur BA + new seeds] →
+  depth-filter observation sweep → motion model update.
+
+Simplifications for this round (tracked): no TEMPORARY-point reprojection of
+unconverged seeds, no pre-frame backfill, no relocalization beyond
+last-keyframe coarse tracking, essential-matrix-only bootstrap.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from hso_tpu.config import Config
+from hso_tpu.image.pyramid import build_frame_pyramids
+from hso_tpu.mapmodel.structures import (
+    Frame,
+    KeyframeWindow,
+    PointTable,
+    TYPE_CANDIDATE,
+    TYPE_GOOD,
+    TYPE_TEMPORARY,
+    TYPE_UNKNOWN,
+    empty_obs,
+)
+from hso_tpu.mapping.depth_filter import (
+    empty_seeds,
+    harvest_and_prune,
+    init_seeds,
+    update_seeds,
+)
+from hso_tpu.math import se3np
+from hso_tpu.math.epipolar_geometry import recover_pose_twoview, triangulate_midpoint
+from hso_tpu.ops.detect import detect_features, occupancy_grid
+from hso_tpu.ops.klt import track_klt
+from hso_tpu.track.coarse_tracker import make_coarse_tracker
+from hso_tpu.track.matcher import match_points, select_candidates
+from hso_tpu.track.pose_optimizer import optimize_pose
+
+STAGE_FIRST = "first"
+STAGE_SECOND = "second"
+STAGE_DEFAULT = "default"
+STAGE_RELOC = "relocalizing"
+
+RESULT_KEYFRAME = "keyframe"
+RESULT_FRAME = "frame"
+RESULT_FAILURE = "failure"
+RESULT_NO_KEYFRAME = "no_keyframe"
+
+SEED_RING = 8
+
+
+@dataclasses.dataclass
+class FrameResult:
+    status: str
+    T_f_w: np.ndarray
+    n_matches: int = 0
+    n_inliers: int = 0
+    n_seeds_updated: int = 0
+    err_px: float = 0.0
+
+
+class FrameHandler:
+    def __init__(self, cam, cfg: Config | None = None):
+        self.cam = cam
+        self.cfg = cfg or Config()
+        self.points = PointTable(self.cfg.n_points_ba_max * 2)
+        self.kfs = KeyframeWindow(recent=SEED_RING)
+        self.seeds = empty_seeds(self.cfg.n_seeds_max)
+        self.seed_ring = np.full(SEED_RING, -1, np.int32)  # ring slot → kf idx
+        self.batch_counter = 0
+        self.stage = STAGE_FIRST
+        self.motion_model = se3np.identity()
+        self.last_frame: Frame | None = None
+        self.first_frame: Frame | None = None
+        self.frame_count = 0
+        self.regular_counter = 0
+        self.n_last_inliers = 0
+        self.mean_converge_frames = 6.0
+        self.px_error_angle = float(np.arctan(1.0 / (2.0 * cam.focal_mean)) * 2.0)
+        self.trajectory: list[tuple[float, np.ndarray]] = []
+        # static grid dims for the reprojector
+        cell = max(int(np.sqrt(cam.width * cam.height / self.cfg.max_fts) * 0.8), 16)
+        self._grid = (cell, -(-cam.height // cell), -(-cam.width // cell))
+        self._occ_cell = 32
+        self._init_px = None
+
+    # ------------------------------------------------------------------ utils
+    def _make_frame(self, img_u8: np.ndarray, ts: float) -> Frame:
+        data = build_frame_pyramids(jnp.asarray(img_u8))
+        f = Frame(
+            frame_id=self.frame_count,
+            timestamp=ts,
+            T_f_w=se3np.identity(),
+            data=data,
+            obs=empty_obs(self.cfg.n_fts_max),
+        )
+        f.grad_mean = float(data["grad_mean"])
+        f.intensity_mean = float(data["intensity_mean"])
+        return f
+
+    def _detect(self, frame: Frame, occupied_px: np.ndarray | None,
+                n_levels: int = 3, cell0: int = 32):
+        h, w = self.cam.height, self.cam.width
+        cy, cx = -(-h // cell0), -(-w // cell0)
+        if occupied_px is None or len(occupied_px) == 0:
+            occ = jnp.zeros((cy, cx), bool)
+        else:
+            occ = occupancy_grid(
+                jnp.asarray(occupied_px, jnp.float32),
+                jnp.ones(len(occupied_px), bool), h, w, cell0,
+            )
+        d = frame.data
+        return detect_features(
+            d["pyr"][:3], d["sobel_x"], d["sobel_y"], d["grad_mean"], occ,
+            n_levels=n_levels, cell0=cell0, n_out=self.cfg.n_fts_max,
+        )
+
+    # ------------------------------------------------------------------ stages
+    def add_image(self, img_u8: np.ndarray, ts: float = 0.0) -> FrameResult:
+        frame = self._make_frame(img_u8, ts)
+        if self.stage == STAGE_FIRST:
+            res = self._process_first(frame)
+        elif self.stage == STAGE_SECOND:
+            res = self._process_second(frame)
+        elif self.stage == STAGE_DEFAULT:
+            res = self._process_default(frame)
+        else:
+            res = self._relocalize(frame)
+        self.last_frame = frame
+        self.frame_count += 1
+        self.trajectory.append((ts, frame.T_f_w.copy()))
+        return res
+
+    def _process_first(self, frame: Frame) -> FrameResult:
+        det = self._detect(frame, None, n_levels=1, cell0=16)
+        n = int(np.asarray(det["valid"]).sum())
+        if n < 100:
+            return FrameResult(RESULT_NO_KEYFRAME, frame.T_f_w)
+        frame.exposure = 1.0
+        self.first_frame = frame
+        self._init_px = np.asarray(det["px"])[np.asarray(det["valid"])]
+        self._init_px_prior = self._init_px.copy()
+        self.stage = STAGE_SECOND
+        return FrameResult(RESULT_KEYFRAME, frame.T_f_w)
+
+    def _process_second(self, frame: Frame) -> FrameResult:
+        cfg = self.cfg
+        px_ref = self._init_px
+        n = len(px_ref)
+        tr = track_klt(
+            self.first_frame.data["pyr"], frame.data["pyr"],
+            jnp.asarray(px_ref, jnp.float32), jnp.ones(n, bool),
+            px_prior=jnp.asarray(self._init_px_prior, jnp.float32),
+        )
+        ok = np.asarray(tr["ok"])
+        px_cur = np.asarray(tr["px_cur"])
+        # incremental prior for the next attempt (reference keeps px_cur_
+        # across bootstrap frames, initialization.cpp:60-75)
+        self._init_px_prior = np.where(ok[:, None], px_cur, self._init_px_prior)
+        if ok.sum() < cfg.init_min_tracked:
+            self._restart()
+            return FrameResult(RESULT_FAILURE, frame.T_f_w)
+        disp = np.linalg.norm(px_cur[ok] - px_ref[ok], axis=-1)
+        if np.median(disp) < cfg.init_min_disparity:
+            return FrameResult(RESULT_NO_KEYFRAME, frame.T_f_w)
+
+        f1 = self.cam.cam2world(px_ref[ok])
+        f2 = self.cam.cam2world(px_cur[ok])
+        rec = recover_pose_twoview(f1, f2, self.cam.focal_mean)
+        if rec is None or rec["n_inliers"] < cfg.init_min_inliers:
+            self._restart()
+            return FrameResult(RESULT_FAILURE, frame.T_f_w)
+
+        inl = rec["inliers"]
+        T_21 = rec["T_21"]
+        p1, z1 = triangulate_midpoint(T_21, f1[inl], f2[inl])
+        good = z1 > 1e-6
+        depth_med = np.median(np.asarray(se3np.apply(T_21, p1[good]))[:, 2])
+        scale = cfg.map_scale / max(depth_med, 1e-9)
+        T_21s = T_21.copy()
+        T_21s[..., :3, 3] *= scale
+        p1 = p1 * scale
+
+        # register keyframes
+        self.first_frame.T_f_w = se3np.identity()
+        self.first_frame.exposure = 1.0
+        kf0 = self.kfs.add(self.first_frame)
+        frame.T_f_w = T_21s
+        frame.exposure = 1.0
+        kf1 = self.kfs.add(frame)
+
+        # create points hosted in KF0 (level-0 bootstrap features)
+        px_ok = px_ref[ok][inl][good]
+        px_cur_ok = px_cur[ok][inl][good]
+        f1g = f1[inl][good]
+        f2g = f2[inl][good]
+        dist1 = np.linalg.norm(p1[good], axis=-1)
+        idx = self.points.alloc(len(px_ok))
+        m = len(idx)
+        self.points.valid[idx] = True
+        self.points.type[idx] = TYPE_UNKNOWN
+        self.points.host_kf[idx] = kf0
+        self.points.host_px[idx] = px_ok[:m]
+        self.points.host_f[idx] = f1g[:m]
+        self.points.host_level[idx] = 0
+        self.points.species[idx] = 0
+        self.points.idist[idx] = 1.0 / np.maximum(dist1[:m], 1e-9)
+        # memoize host windows
+        from hso_tpu.ops.gatherless import clip_anchor, extract_windows
+
+        img0 = self.first_frame.data["pyr"][0]
+        au, av = clip_anchor(
+            jnp.asarray(px_ok[:m, 0]), jnp.asarray(px_ok[:m, 1]), 24, 0,
+            *img0.shape,
+        )
+        wins = extract_windows(img0, au, av, 24)
+        self.points.host_win[idx] = np.asarray(wins)
+        self.points.host_anchor[idx] = np.stack(
+            [np.asarray(au), np.asarray(av)], axis=-1
+        )
+
+        # observations in both keyframes
+        for kf_frame, px_obs, f_obs in (
+            (self.first_frame, px_ok[:m], f1g[:m]),
+            (frame, px_cur_ok[:m], f2g[:m]),
+        ):
+            o = kf_frame.obs
+            o["valid"][:m] = True
+            o["px"][:m] = px_obs
+            o["f"][:m] = f_obs
+            o["level"][:m] = 0
+            o["species"][:m] = 0
+            o["point_id"][:m] = idx
+
+        # seed the depth filter from the second keyframe
+        self._add_keyframe_seeds(frame, depth_mean=cfg.map_scale,
+                                 depth_min=float(dist1.min() * 0.5),
+                                 converge_thresh=200.0)
+        self.stage = STAGE_DEFAULT
+        self.n_last_inliers = m
+        self.regular_counter = 0
+        return FrameResult(RESULT_KEYFRAME, frame.T_f_w, n_matches=m, n_inliers=m)
+
+    # ------------------------------------------------------------------ default
+    def _process_default(self, frame: Frame) -> FrameResult:
+        cfg = self.cfg
+        last = self.last_frame
+        frame.T_f_w = se3np.mul(self.motion_model, last.T_f_w)
+
+        # ---- 1. coarse tracking vs last frame ----
+        ref_obs = last.obs
+        valid_ref = ref_obs["valid"] & (ref_obs["point_id"] >= 0)
+        pid = np.where(valid_ref, ref_obs["point_id"], 0)
+        pos_w = self.points.positions(self.kfs.poses)[pid]
+        p_ref = se3np.apply(last.T_f_w, pos_w)
+        dist = np.linalg.norm(p_ref, axis=-1)
+        dist = np.where(valid_ref & (p_ref[:, 2] > 1e-5), dist, -1.0).astype(np.float32)
+
+        inverse = not (frame.grad_mean > last.grad_mean + 0.5)
+        tracker = make_coarse_tracker(
+            self.cam, max_level=cfg.klt_max_level, min_level=cfg.klt_min_level + 1,
+            n_iter=cfg.coarse_n_iter, inverse=inverse,
+        )
+        a_init = frame.intensity_mean / max(last.intensity_mean, 1e-6)
+        tout = tracker(
+            last.data["pyr"], frame.data["pyr"],
+            jnp.asarray(ref_obs["px"], jnp.float32),
+            jnp.asarray(ref_obs["f"], jnp.float32),
+            jnp.asarray(dist),
+            jnp.asarray(se3np.identity() if last is None else
+                        se3np.mul(frame.T_f_w, se3np.inv(last.T_f_w)), jnp.float32),
+            float(a_init),
+        )
+        T_cur_ref = np.asarray(tout["T_cur_ref"], np.float64)
+        frame.T_f_w = se3np.normalize(se3np.mul(T_cur_ref, last.T_f_w))
+        a = float(tout["exposure_ratio"])
+        frame.exposure = last.exposure if 0.99 < a < 1.01 else a * last.exposure
+
+        # ---- 2. reprojection + direct matching ----
+        n_matches = self._reproject(frame)
+        if n_matches < cfg.quality_min_fts:
+            frame.T_f_w = last.T_f_w.copy()
+            self.stage = STAGE_RELOC
+            return FrameResult(RESULT_FAILURE, frame.T_f_w, n_matches=n_matches)
+
+        # ---- 3. motion-only pose optimization ----
+        o = frame.obs
+        ov = o["valid"] & (o["point_id"] >= 0)
+        pid = np.where(ov, o["point_id"], 0)
+        p_world = self.points.positions(self.kfs.poses)[pid].astype(np.float32)
+        pout = optimize_pose(
+            jnp.asarray(frame.T_f_w, jnp.float32),
+            jnp.asarray(p_world),
+            jnp.asarray(o["f"], jnp.float32),
+            jnp.asarray(o["level"]),
+            jnp.asarray(o["grad"], jnp.float32),
+            jnp.asarray(o["species"] == 1),
+            jnp.asarray(self.points.type[pid] == TYPE_TEMPORARY),
+            jnp.asarray(ov),
+            focal=float(self.cam.focal_mean),
+            reproj_thresh=cfg.poseoptim_thresh,
+        )
+        frame.T_f_w = se3np.normalize(np.asarray(pout["T_f_w"], np.float64))
+        inlier = np.asarray(pout["inlier"])
+        n_inliers = int(inlier.sum())
+        # strip outlier observations
+        o["point_id"] = np.where(ov & ~inlier, -1, o["point_id"])
+        o["valid"] &= o["point_id"] >= 0
+
+        # drop check vs the budget-capped previous count (the bootstrap can
+        # exceed max_fts; the reprojector is budgeted to max_fts cells)
+        if n_inliers < cfg.quality_min_fts or (
+            min(self.n_last_inliers, cfg.max_fts) - n_inliers
+            > cfg.quality_max_drop_fts
+        ):
+            frame.T_f_w = last.T_f_w.copy()
+            self.stage = STAGE_RELOC
+            return FrameResult(RESULT_FAILURE, frame.T_f_w, n_matches, n_inliers)
+        self.n_last_inliers = n_inliers
+
+        # ---- 4. scene depth statistics ----
+        ov = o["valid"]
+        pid = np.where(ov, o["point_id"], 0)
+        p_cur = se3np.apply(frame.T_f_w, self.points.positions(self.kfs.poses)[pid])
+        z = p_cur[ov][:, 2]
+        d = np.linalg.norm(p_cur[ov], axis=-1)
+        depth_mean = float(np.median(z)) if len(z) else 1.0
+        depth_min = float(z.min()) if len(z) else 0.1
+        distance_mean = float(np.median(d)) if len(d) else 1.0
+
+        # ---- 5. keyframe decision ----
+        is_kf = self._need_new_kf(frame, distance_mean)
+        result = RESULT_FRAME
+        if is_kf:
+            result = RESULT_KEYFRAME
+            self.regular_counter = 0
+            kf_idx = self.kfs.add(frame)
+            # CANDIDATE points observed here become UNKNOWN (addCandidatePointToFrame)
+            seen = o["point_id"][o["valid"]]
+            cand = seen[self.points.type[seen] == TYPE_CANDIDATE]
+            self.points.type[cand] = TYPE_UNKNOWN
+            self._run_ba(frame)
+        else:
+            self.regular_counter += 1
+
+        # ---- 6. depth-filter sweep (mapping work, synchronous) ----
+        n_upd = self._depth_filter_sweep(frame)
+        if is_kf:
+            thresh = 100.0 if n_inliers <= 70 else 200.0
+            self._harvest_seeds()
+            self._add_keyframe_seeds(frame, distance_mean, 0.5 * depth_min, thresh)
+
+        self.motion_model = se3np.mul(frame.T_f_w, se3np.inv(last.T_f_w))
+        return FrameResult(
+            result, frame.T_f_w, n_matches, n_inliers, n_upd,
+            float(pout["err_final_px"]),
+        )
+
+    # ------------------------------------------------------------------ blocks
+    def _reproject(self, frame: Frame) -> int:
+        cell, gh, gw = self._grid
+        pos_w = self.points.positions(self.kfs.poses).astype(np.float32)
+        priority = self.points.type.astype(np.int32)
+        sel = select_candidates(
+            jnp.asarray(pos_w), jnp.asarray(self.points.valid),
+            jnp.asarray(priority), jnp.asarray(frame.T_f_w, jnp.float32),
+            self.cam, cell=cell, grid_h=gh, grid_w=gw,
+        )
+        cell_valid = np.asarray(sel["cell_valid"])
+        cand_idx = np.asarray(sel["cell_point"])[cell_valid]
+        px_init = np.asarray(sel["cell_px"])[cell_valid]
+        n_c = len(cand_idx)
+        if n_c == 0:
+            return 0
+        # pad to the static capacity
+        n_max = self.cfg.n_fts_max
+        cand_idx = cand_idx[:n_max]
+        px_init = px_init[:n_max]
+        pad = n_max - len(cand_idx)
+        cidx = np.pad(cand_idx, (0, pad))
+        pts = self.points
+        cand = {
+            "host_win": jnp.asarray(pts.host_win[cidx]),
+            "host_anchor": jnp.asarray(pts.host_anchor[cidx]),
+            "host_px": jnp.asarray(pts.host_px[cidx]),
+            "host_f": jnp.asarray(pts.host_f[cidx]),
+            "host_level": jnp.asarray(pts.host_level[cidx]),
+            "grad": jnp.asarray(pts.grad[cidx]),
+            "species": jnp.asarray(pts.species[cidx]),
+            "idist": jnp.asarray(pts.idist[cidx]),
+            "T_host_w": jnp.asarray(
+                self.kfs.poses[pts.host_kf[cidx]], jnp.float32
+            ),
+            "exposure_host": jnp.asarray(self.kfs.exposure[pts.host_kf[cidx]]),
+            "valid": jnp.asarray(np.arange(n_max) < len(cand_idx)),
+        }
+        d = frame.data
+        mout = match_points(
+            cand, d["pyr"], d["sobel_x"], d["sobel_y"],
+            jnp.asarray(frame.T_f_w, jnp.float32), frame.exposure, self.cam,
+        )
+        success = np.asarray(mout["success"])
+        px = np.asarray(mout["px"])
+        lvl = np.asarray(mout["level"])
+        f_cur = np.asarray(mout["f_cur"])
+
+        # bookkeeping on points
+        live = np.arange(n_max) < len(cand_idx)
+        good_ids = cidx[success & live]
+        fail_ids = cidx[~success & live]
+        pts.n_succ[good_ids] += 1
+        pts.n_fail[fail_ids] += 1
+        # deletions per reprojector.cpp:373-387 rules
+        kill = fail_ids[
+            (pts.type[fail_ids] == TYPE_TEMPORARY) & (pts.n_fail[fail_ids] > 3)
+        ]
+        self.points.release(kill)
+        kill2 = fail_ids[
+            (pts.type[fail_ids] == TYPE_UNKNOWN) & (pts.n_fail[fail_ids] > 15)
+        ]
+        self.points.release(kill2)
+        promote = good_ids[
+            (pts.type[good_ids] == TYPE_UNKNOWN) & (pts.n_succ[good_ids] > 10)
+        ]
+        pts.type[promote] = TYPE_GOOD
+
+        # fill the frame's observation table
+        o = frame.obs
+        w = np.where(success & live)[0]
+        n_m = len(w)
+        o["valid"][:n_m] = True
+        o["px"][:n_m] = px[w]
+        o["f"][:n_m] = f_cur[w]
+        o["level"][:n_m] = lvl[w]
+        o["species"][:n_m] = pts.species[cidx[w]]
+        o["grad"][:n_m] = np.asarray(mout["grad_cur"])[w]
+        o["point_id"][:n_m] = cidx[w]
+        return n_m
+
+    def _need_new_kf(self, frame: Frame, distance_mean: float) -> bool:
+        if self.regular_counter < 3:
+            return False
+        if self.regular_counter < min(3, int(self.mean_converge_frames * 0.8)):
+            return False
+        last_kf = self.kfs.last()
+        o = last_kf.obs
+        ov = o["valid"] & (o["point_id"] >= 0)
+        if ov.sum() < 5:
+            return True
+        pid = o["point_id"][ov]
+        pos = self.points.positions(self.kfs.poses)[pid]
+        p_ref = se3np.apply(last_kf.T_f_w, pos)
+        dist = np.linalg.norm(p_ref, axis=-1)
+        f = o["f"][ov].astype(np.float64)
+        p_ref_ray = f * dist[:, None]
+
+        T_full = se3np.mul(frame.T_f_w, se3np.inv(last_kf.T_f_w))
+        T_nR = se3np.from_Rt(np.eye(3), se3np.translation(T_full))
+        uv_full = self.cam.world2cam(se3np.apply(T_full, p_ref_ray))
+        uv_nR = self.cam.world2cam(se3np.apply(T_nR, p_ref_ray))
+        px_kf = o["px"][ov]
+        flow_full = np.mean(np.sum((uv_full - px_kf) ** 2, axis=-1))
+        if flow_full < 133.0:
+            return False
+        flow_full = np.sqrt(flow_full)
+        flow_nR = np.sqrt(np.mean(np.sum((uv_nR - px_kf) ** 2, axis=-1)))
+
+        default_res = 752 + 480
+        max_shift_t = 0.04 * default_res
+        max_shift_rt = 0.02 * default_res
+        kf_weight = 0.75
+        wh = self.cam.width + self.cam.height
+        judgement = (
+            kf_weight * max_shift_t * flow_nR / wh
+            + kf_weight * max_shift_rt * flow_full / wh
+        )
+        return judgement > 1.0
+
+    # ---------------------------------------------------------------- mapping
+    def _depth_filter_sweep(self, frame: Frame) -> int:
+        ring_T = np.stack(
+            [
+                self.kfs.poses[i] if i >= 0 else se3np.identity()
+                for i in self.seed_ring
+            ]
+        ).astype(np.float32)
+        ring_exp = np.array(
+            [self.kfs.exposure[i] if i >= 0 else 1.0 for i in self.seed_ring],
+            np.float32,
+        )
+        d = frame.data
+        self.seeds, stats = update_seeds(
+            self.seeds, jnp.asarray(ring_T), jnp.asarray(ring_exp),
+            d["pyr"], d["sobel_x"], d["sobel_y"],
+            jnp.asarray(frame.T_f_w, jnp.float32), frame.exposure,
+            self.px_error_angle, self.cam,
+        )
+        self._last_seed_match_px = np.asarray(stats["px_match"])
+        self._last_seed_matched = np.asarray(stats["matched"])
+        return int(stats["n_updated"])
+
+    def _harvest_seeds(self) -> int:
+        self.seeds, conv, snap = harvest_and_prune(
+            self.seeds, self.batch_counter, self.cfg.max_seed_kf_batches
+        )
+        conv = np.asarray(conv)
+        n_conv = int(conv.sum())
+        if n_conv == 0:
+            return 0
+        # converge-rate statistic (nMeanConvergeFrame_)
+        n_upd = np.asarray(self.seeds["n_updates"])[conv]
+        if len(n_upd):
+            self.mean_converge_frames = 0.7 * self.mean_converge_frames + 0.3 * float(
+                np.mean(np.maximum(n_upd, 1.0))
+            )
+        idx = self.points.alloc(n_conv)
+        m = len(idx)
+        if m == 0:
+            return 0
+        w = np.where(conv)[0][:m]
+        host_ring = np.asarray(snap["host"])[w]
+        self.points.valid[idx] = True
+        self.points.type[idx] = TYPE_CANDIDATE
+        self.points.host_kf[idx] = self.seed_ring[host_ring]
+        self.points.host_px[idx] = np.asarray(snap["px"])[w]
+        self.points.host_f[idx] = np.asarray(snap["f"])[w]
+        self.points.host_level[idx] = np.asarray(snap["level"])[w]
+        self.points.species[idx] = np.asarray(snap["species"])[w]
+        self.points.grad[idx] = np.asarray(snap["grad"])[w]
+        self.points.idist[idx] = np.asarray(snap["mu"])[w]
+        self.points.host_win[idx] = np.asarray(self.seeds["host_win"])[w]
+        self.points.host_anchor[idx] = np.asarray(self.seeds["host_anchor"])[w]
+        self.points.n_succ[idx] = 0
+        self.points.n_fail[idx] = 0
+        return m
+
+    def _add_keyframe_seeds(self, frame: Frame, depth_mean, depth_min,
+                            converge_thresh) -> None:
+        # occupancy: current observations + matched seed positions
+        occ_px = frame.obs["px"][frame.obs["valid"]]
+        if getattr(self, "_last_seed_matched", None) is not None:
+            sm = self._last_seed_match_px[self._last_seed_matched]
+            if len(sm):
+                occ_px = np.concatenate([occ_px, sm], axis=0)
+        det = self._detect(frame, occ_px)
+        f_det = self.cam.cam2world(np.asarray(det["px"])).astype(np.float32)
+
+        self.batch_counter += 1
+        ring_slot = frame.kf_index % SEED_RING
+        self.seed_ring[ring_slot] = frame.kf_index
+        self.seeds = init_seeds(
+            self.seeds, det, frame.data["pyr"], jnp.asarray(f_det),
+            ring_slot, self.batch_counter, float(depth_mean),
+            float(max(depth_min, 1e-3)), float(converge_thresh),
+        )
+
+    # ---------------------------------------------------------------- BA
+    def _run_ba(self, center: Frame) -> None:
+        from hso_tpu.pipeline.ba_glue import run_local_ba
+
+        run_local_ba(self, center)
+
+    # ---------------------------------------------------------------- misc
+    def _relocalize(self, frame: Frame) -> FrameResult:
+        if not self.kfs.frames:
+            return FrameResult(RESULT_FAILURE, frame.T_f_w)
+        ref = self.kfs.last()
+        if ref.data is None:
+            return FrameResult(RESULT_FAILURE, frame.T_f_w)
+        frame.T_f_w = self.last_frame.T_f_w.copy()
+        tracker = make_coarse_tracker(
+            self.cam, max_level=self.cfg.klt_max_level,
+            min_level=self.cfg.klt_min_level, n_iter=15, inverse=True,
+        )
+        ro = ref.obs
+        valid_ref = ro["valid"] & (ro["point_id"] >= 0)
+        pid = np.where(valid_ref, ro["point_id"], 0)
+        pos_w = self.points.positions(self.kfs.poses)[pid]
+        p_ref = se3np.apply(ref.T_f_w, pos_w)
+        dist = np.where(valid_ref & (p_ref[:, 2] > 1e-5),
+                        np.linalg.norm(p_ref, axis=-1), -1.0).astype(np.float32)
+        tout = tracker(
+            ref.data["pyr"], frame.data["pyr"],
+            jnp.asarray(ro["px"], jnp.float32), jnp.asarray(ro["f"], jnp.float32),
+            jnp.asarray(dist),
+            jnp.asarray(se3np.mul(frame.T_f_w, se3np.inv(ref.T_f_w)), jnp.float32),
+            1.0,
+        )
+        if int(tout["n_tracked"]) > 30:
+            frame.T_f_w = se3np.normalize(
+                se3np.mul(np.asarray(tout["T_cur_ref"], np.float64), ref.T_f_w)
+            )
+            self.stage = STAGE_DEFAULT
+            self.last_frame = ref
+            return self._process_default(frame)
+        return FrameResult(RESULT_FAILURE, frame.T_f_w)
+
+    def _restart(self) -> None:
+        self.stage = STAGE_FIRST
+        self.first_frame = None
+        self._init_px = None
