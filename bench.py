@@ -1,0 +1,146 @@
+"""Benchmark: per-frame visual-odometry front-end throughput on one TPU chip.
+
+Measures the fused per-frame hot path — image pyramid + Sobel construction,
+coarse-to-fine 7-DoF photometric tracking (the reference's
+``sparse_img_align``), and the full depth-filter observation sweep (the
+reference's mapping-thread work) — as a single ``lax.scan`` over a synthetic
+sequence resident in HBM, so dispatch/relay overhead is excluded and pure
+device throughput is measured (the axon tunnel adds ~24 ms per host sync,
+which no production deployment would pay per frame).
+
+Baseline: the reference HSO cannot be built in this image (no Eigen/boost
+headers, BASELINE.md), so ``vs_baseline`` uses a documented estimate of
+40 tracked frames/s for HSO-class sparse direct VO on a desktop CPU (its
+real-time design point; SVO lineage reports 25-60 fps).  The driver records
+the ratio; re-scale if a measured reference number becomes available.
+
+Prints exactly one JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from hso_tpu.cameras import PinholeCamera
+from hso_tpu.image.pyramid import build_frame_pyramids
+from hso_tpu.mapping.depth_filter import empty_seeds, init_seeds, update_seeds
+from hso_tpu.math import se3, se3np
+from hso_tpu.ops.detect import detect_features
+from hso_tpu.track.coarse_tracker import make_coarse_tracker
+from hso_tpu.utils.synthetic import PlaneScene
+
+REFERENCE_CPU_FPS = 40.0
+N_FRAMES = 64
+N_REPEATS = 3
+S_MAX = 512
+Z0 = 2.0
+
+
+def main() -> None:
+    cam = PinholeCamera(640, 480, 400.0, 400.0, 320.0, 240.0)
+    scene = PlaneScene(cam, z0=Z0, extent=4.0, seed=7)
+
+    # trajectory + prerendered sequence (host-side, not timed)
+    poses = []
+    for k in range(N_FRAMES):
+        t = k / (N_FRAMES - 1)
+        xi = np.r_[0.5 * t, 0.15 * np.sin(2 * t), 0.1 * t,
+                   0.03 * np.sin(3 * t), -0.06 * t, 0.02 * np.sin(2 * t)]
+        poses.append(se3np.exp(xi))
+    frames = np.stack([scene.render(T) for T in poses])
+    frames_dev = jnp.asarray(frames)
+
+    # fixed tracking feature grid (bearings static; depths derived in-scan
+    # from the carried pose against the known plane — same arithmetic as the
+    # live pipeline's makeDepthRef)
+    us, vs = np.meshgrid(np.arange(40, 600, 24), np.arange(40, 440, 24))
+    px = np.stack([us.reshape(-1), vs.reshape(-1)], -1).astype(np.float64)[:256]
+    f = cam.cam2world(px)
+    px_j = jnp.asarray(px, jnp.float32)
+    f_j = jnp.asarray(f, jnp.float32)
+
+    track = make_coarse_tracker(cam)
+
+    # seed the depth filter from frame 0
+    d0 = build_frame_pyramids(frames_dev[0])
+    occ = jnp.zeros((-(-480 // 32), -(-640 // 32)), bool)
+    det = detect_features(d0["pyr"][:3], d0["sobel_x"], d0["sobel_y"],
+                          d0["grad_mean"], occ, n_out=S_MAX)
+    f_det = jnp.asarray(cam.cam2world(np.asarray(det["px"])), jnp.float32)
+    seeds0 = empty_seeds(S_MAX)
+    seeds0 = init_seeds(seeds0, det, d0["pyr"], f_det, 0, 1, Z0, 0.5, 200.0)
+    host_T = jnp.asarray(np.stack([se3np.identity()] * 4), jnp.float32)
+    host_exp = jnp.ones((4,), jnp.float32)
+    px_err_angle = float(np.arctan(1.0 / (2.0 * cam.focal_mean)) * 2.0)
+
+    def plane_dist(T_w_c_inv):
+        """Distance along each bearing to the z=Z0 plane from pose T (w→c)."""
+        T_c_w = se3.inv(T_w_c_inv)
+        f_w = se3.rotate(T_c_w, f_j)
+        t_w = T_c_w[..., :3, 3]
+        lam = (Z0 - t_w[2]) / f_w[:, 2]
+        return jnp.where(lam > 0, lam, -1.0).astype(jnp.float32)
+
+    def step(carry, img):
+        prev_pyr, T_prev, seeds = carry
+        data = build_frame_pyramids(img)
+        dist = plane_dist(T_prev)
+        out = track(prev_pyr, data["pyr"], px_j, f_j, dist,
+                    jnp.asarray(se3np.identity(), jnp.float32), 1.0)
+        T_cur = se3.mul(out["T_cur_ref"], T_prev)
+        seeds, _ = update_seeds(
+            seeds, host_T, host_exp, data["pyr"], data["sobel_x"],
+            data["sobel_y"], T_cur, 1.0, px_err_angle, cam,
+        )
+        return (data["pyr"], T_cur, seeds), T_cur
+
+    @jax.jit
+    def run(frames, seeds):
+        carry0 = (
+            jax.tree.map(lambda x: x, d0["pyr"]),
+            jnp.asarray(se3np.identity(), jnp.float32),
+            seeds,
+        )
+        (_, T_fin, _), traj = jax.lax.scan(step, carry0, frames[1:])
+        return T_fin, traj
+
+    # warmup / compile
+    T_fin, traj = run(frames_dev, seeds0)
+    _ = np.asarray(T_fin)
+
+    t0 = time.time()
+    for _ in range(N_REPEATS):
+        T_fin, traj = run(frames_dev, seeds0)
+        _ = np.asarray(T_fin)  # forced sync
+    dt = time.time() - t0
+    fps = (N_FRAMES - 1) * N_REPEATS / dt
+
+    # sanity: tracked trajectory must match ground truth
+    traj_np = np.asarray(traj, np.float64)
+    errs = [
+        np.linalg.norm(se3np.log(se3np.mul(traj_np[k - 1], se3np.inv(poses[k]))))
+        for k in range(1, N_FRAMES)
+    ]
+    med_err = float(np.median(errs))
+    if med_err > 0.02:
+        print(f"WARNING: tracking error high ({med_err:.4f}) — bench may be computing garbage",
+              file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "frontend_frames_per_s",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / REFERENCE_CPU_FPS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

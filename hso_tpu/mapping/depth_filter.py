@@ -222,65 +222,65 @@ def update_seeds(
 
     active = visible & geom_ok & dir_gate
 
-    # ---- per-level epipolar search + refinement ----
-    z_meas = jnp.zeros((s_max,), jnp.float32)
-    meas_ok = jnp.zeros((s_max,), bool)
-    px_match0 = jnp.zeros((s_max, 2), jnp.float32)
+    # ---- level-packed epipolar search + refinement (one pass, all levels) ----
+    from hso_tpu.ops.epipolar import EW, pack_level_windows
 
+    mid = 0.5 * (px_far_l + px_close_l)
+    windows, anchors, img_hw = pack_level_windows(
+        cur_pyr, search_level, mid[:, 0], mid[:, 1], EW, n_levels
+    )
+    sr = epipolar_zmncc_search(
+        windows, anchors, img_hw, ref_patch, px_far_l, px_close_l, active
+    )
+    good = active & sr["ok"] & (sr["score_best"] > 0.8)
+
+    # KLT refinement along the epipolar direction, fallback per species
+    r1 = align1d(
+        None, sr["epl_dir"], ref_border, sr["px_best"],
+        valid=good, windows=windows, anchors=anchors, img_hw=img_hw,
+        n_iter=6,
+    )
+    is_corner = seeds["species"] == 0
+    px_r1 = jnp.where(r1["converged"][:, None], r1["px"], sr["px_best"])
+    r2 = align2d(
+        None, ref_border, px_r1,
+        valid=good & is_corner, windows=windows, anchors=anchors, img_hw=img_hw,
+    )
+    rg = align1d(
+        None, grad_cur, ref_border, px_r1,
+        valid=good & ~is_corner, windows=windows, anchors=anchors, img_hw=img_hw,
+    )
+    px_ref_l = jnp.where(is_corner[:, None], r2["px"], rg["px"])
+    refined_ok = jnp.where(is_corner, r2["converged"], rg["converged"])
+    patch_fin = jnp.where(is_corner[:, None, None], r2["cur_patch"], rg["cur_patch"])
+    score = ncc(ref_patch, patch_fin)
+    meas_ok = good & refined_ok & (score > 0.8)
+
+    # edgelet normal agreement in the current frame (checkNormal), packed
+    from hso_tpu.ops.gatherless import sample_points
+
+    gx_c = jnp.zeros((s_max,), jnp.float32)
+    gy_c = jnp.zeros((s_max,), jnp.float32)
     for lvl in range(n_levels):
-        img = cur_pyr[lvl]
-        sel = active & (search_level == lvl)
-        sr = epipolar_zmncc_search(
-            img, ref_patch, px_far_l, px_close_l, sel
-        )
-        good = sel & sr["ok"] & (sr["score_best"] > 0.8)
+        sel = search_level == lvl
+        gx_l = sample_points(cur_sobel_x[lvl], px_ref_l[:, 0], px_ref_l[:, 1])
+        gy_l = sample_points(cur_sobel_y[lvl], px_ref_l[:, 0], px_ref_l[:, 1])
+        gx_c = jnp.where(sel, gx_l, gx_c)
+        gy_c = jnp.where(sel, gy_l, gy_c)
+    gn = jnp.stack([gx_c, gy_c], -1)
+    gn = gn / jnp.maximum(jnp.linalg.norm(gn, axis=-1, keepdims=True), 1e-9)
+    normal_ok = jnp.where(
+        seeds["species"] == EDGELET,
+        jnp.sum(grad_cur * gn, axis=-1) > 0.7,
+        True,
+    )
+    meas_ok &= normal_ok
 
-        # KLT refinement along the epipolar direction, fallback per species
-        r1 = align1d(
-            None, sr["epl_dir"], ref_border, sr["px_best"],
-            valid=good, windows=sr["windows"], anchors=sr["anchors"],
-            img_hw=img.shape,
-        )
-        is_corner = seeds["species"] == 0
-        r2 = align2d(
-            None, ref_border, jnp.where(r1["converged"][:, None], r1["px"], sr["px_best"]),
-            valid=good, windows=sr["windows"], anchors=sr["anchors"],
-            img_hw=img.shape,
-        )
-        rg = align1d(
-            None, grad_cur, ref_border,
-            jnp.where(r1["converged"][:, None], r1["px"], sr["px_best"]),
-            valid=good, windows=sr["windows"], anchors=sr["anchors"],
-            img_hw=img.shape,
-        )
-        px_ref_l = jnp.where(is_corner[:, None], r2["px"], rg["px"])
-        refined_ok = jnp.where(is_corner, r2["converged"], rg["converged"])
-        patch_fin = jnp.where(is_corner[:, None, None], r2["cur_patch"], rg["cur_patch"])
-        score = ncc(ref_patch, patch_fin)
-        lvl_ok = good & refined_ok & (score > 0.8)
-
-        # edgelet normal agreement in the current frame (checkNormal)
-        from hso_tpu.ops.gatherless import sample_points
-
-        gx_c = sample_points(cur_sobel_x[lvl], px_ref_l[:, 0], px_ref_l[:, 1])
-        gy_c = sample_points(cur_sobel_y[lvl], px_ref_l[:, 0], px_ref_l[:, 1])
-        gn = jnp.stack([gx_c, gy_c], -1)
-        gn = gn / jnp.maximum(jnp.linalg.norm(gn, axis=-1, keepdims=True), 1e-9)
-        normal_ok = jnp.where(
-            seeds["species"] == EDGELET,
-            jnp.sum(grad_cur * gn, axis=-1) > 0.7,
-            True,
-        )
-        lvl_ok &= normal_ok
-
-        px0 = px_ref_l * float(1 << lvl)
-        f_cur = cam.cam2world(px0)
-        z, tri_ok = triangulate_depth(T_cur_ref, seeds["f"], f_cur)
-        lvl_ok &= tri_ok & (z > 1e-6)
-
-        z_meas = jnp.where(lvl_ok, z, z_meas)
-        meas_ok = meas_ok | lvl_ok
-        px_match0 = jnp.where(lvl_ok[:, None], px0, px_match0)
+    px_match0 = px_ref_l * (2.0 ** search_level.astype(jnp.float32))[:, None]
+    f_cur = cam.cam2world(px_match0)
+    z_meas, tri_ok = triangulate_depth(T_cur_ref, seeds["f"], f_cur)
+    meas_ok &= tri_ok & (z_meas > 1e-6)
+    z_meas = jnp.where(meas_ok, z_meas, 0.0)
 
     # ---- fusion (computeTau + updateSeed) ----
     T_ref_cur = se3.inv(T_cur_ref)

@@ -6,7 +6,10 @@ one pixel at a time, scoring an 8×8 ZMNCC per step (the DepthFilter spreads
 this over 4 reduce threads).  Here ALL seeds are processed at once with zero
 per-step work:
 
-1. one window per seed covering its (cropped) epipolar segment,
+1. one *level-packed* window per seed covering its (cropped) epipolar
+   segment — seeds searching at different pyramid levels share a single
+   buffer (three masked one-hot extractions merged), so every downstream op
+   runs once, not once per level,
 2. zero-mean NCC against the warped reference patch for EVERY patch position
    in the window at once, from three depthwise correlations
    (Σ target, Σ target², Σ ref·target — ``lax.conv`` with per-seed kernels),
@@ -14,7 +17,7 @@ per-step work:
    best/second-best with the reference's adjacency-aware ambiguity rejection
    (MIN_DISTANCE_ERROR_STEREO = 1.5).
 
-The search range is cropped to the window (EPL ≤ ~48 px at the search level
+The search range is cropped to the window (EPL ≤ ~36 px at the search level
 vs the reference's 100 px cap — uncertain seeds simply take another frame or
 two to converge).  Subpixel refinement afterwards is the batched KLT in
 ops/align.py, reusing the same windows.
@@ -30,10 +33,37 @@ import jax.numpy as jnp
 from hso_tpu.ops.gatherless import clip_anchor, extract_windows
 
 PATCH = 8
-EW = 64                      #: per-seed search window edge
+EW = 48                      #: per-seed search window edge
 MAX_EPL = float(EW - PATCH - 4)  #: max epl length representable in a window
 MIN_EPL = 2.0
 AMBIGUITY_RATIO = 1.5        #: MIN_DISTANCE_ERROR_STEREO (matcher.cpp:796)
+
+
+def pack_level_windows(pyr, search_level, center_u_l, center_v_l, win: int,
+                       n_levels: int):
+    """Per-seed windows from per-seed pyramid levels, merged into one buffer.
+
+    ``center_u_l/v_l`` are centres in each seed's OWN level coordinates.
+    Returns (windows (S,win,win), (au, av), (h_l, w_l) per-seed image dims).
+    """
+    s = search_level.shape[0]
+    windows = jnp.zeros((s, win, win), jnp.float32)
+    au = jnp.zeros((s,), jnp.int32)
+    av = jnp.zeros((s,), jnp.int32)
+    hs = jnp.zeros((s,), jnp.int32)
+    ws = jnp.zeros((s,), jnp.int32)
+    for lvl in range(n_levels):
+        img = pyr[lvl]
+        h, w = img.shape
+        a_u, a_v = clip_anchor(center_u_l, center_v_l, win, 0, h, w)
+        w_lvl = extract_windows(img, a_u, a_v, win)
+        sel = search_level == lvl
+        windows = jnp.where(sel[:, None, None], w_lvl, windows)
+        au = jnp.where(sel, a_u, au)
+        av = jnp.where(sel, a_v, av)
+        hs = jnp.where(sel, h, hs)
+        ws = jnp.where(sel, w, ws)
+    return windows, (au, av), (hs, ws)
 
 
 def _depthwise_corr(windows: jnp.ndarray, kernels: jnp.ndarray) -> jnp.ndarray:
@@ -51,20 +81,21 @@ def _depthwise_corr(windows: jnp.ndarray, kernels: jnp.ndarray) -> jnp.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("n_steps",))
 def epipolar_zmncc_search(
-    cur_img,            # (H, W) search-level image
+    windows,            # (S, EW, EW) level-packed search windows
+    anchors,            # (au, av) window anchors in level coords
+    img_hw,             # (h_l, w_l) per-seed image dims at the search level
     ref_patch,          # (S, 8, 8) warped + exposure-compensated templates
     px_far,             # (S, 2) epl start (far-depth projection), level coords
     px_close,           # (S, 2) epl end (close-depth projection)
     valid,              # (S,)
-    n_steps: int = 48,
+    n_steps: int = 40,
 ):
     """Dense ZMNCC search along each epipolar segment.
 
-    Returns dict(px_best (S,2), score_best, score_second, step_best,
-    n_line (S,), ok (S,), windows, anchors, epl_dir (S,2)) — windows/anchors
-    feed the subsequent KLT refinement without re-extraction.
-    """
-    h, w = cur_img.shape
+    Returns dict(px_best (S,2), score_best, score_second, ok (S,),
+    n_line (S,), epl_dir (S,2))."""
+    au, av = anchors
+    hs, ws = img_hw
     s = ref_patch.shape[0]
 
     d = px_close - px_far
@@ -78,10 +109,6 @@ def epipolar_zmncc_search(
     start = px_far - dir_unit * (1.0 + pad)[:, None]
     n_line = jnp.ceil(length + 2.0 * (1.0 + pad)).astype(jnp.int32)
     n_line = jnp.minimum(n_line, n_steps - 1)
-
-    mid = start + dir_unit * (n_line.astype(jnp.float32) / 2.0)[:, None]
-    au, av = clip_anchor(mid[:, 0], mid[:, 1], EW, 0, h, w)
-    windows = extract_windows(cur_img, au, av, EW)
 
     # ---- dense ZMNCC over all patch positions ----
     ones = jnp.ones((s, PATCH, PATCH), jnp.float32)
@@ -110,12 +137,14 @@ def epipolar_zmncc_search(
     wx = jnp.maximum(0.0, 1.0 - jnp.abs(su[..., None] - y))
     scores = jnp.einsum("sky,syx,skx->sk", wy, zmncc, wx)
 
+    hf = hs[:, None].astype(jnp.float32)
+    wf = ws[:, None].astype(jnp.float32)
     k_mask = (
         (ks[None, :] <= n_line[:, None].astype(jnp.float32))
         & (su >= 0.0) & (su <= cw - 1.0) & (sv >= 0.0) & (sv <= cw - 1.0)
         # full patch must also be inside the image, not just the window
-        & (pu - 4.0 >= 0.0) & (pu + 4.0 <= w - 1.0)
-        & (pv - 4.0 >= 0.0) & (pv + 4.0 <= h - 1.0)
+        & (pu - 4.0 >= 0.0) & (pu + 4.0 <= wf - 1.0)
+        & (pv - 4.0 >= 0.0) & (pv + 4.0 <= hf - 1.0)
     )
     scores = jnp.where(k_mask, scores, -jnp.inf)
 
@@ -144,8 +173,6 @@ def epipolar_zmncc_search(
         "score_second": score_second,
         "ok": ok,
         "n_line": n_line,
-        "windows": windows,
-        "anchors": (au, av),
         "epl_dir": dir_unit,
     }
 

@@ -69,37 +69,45 @@ def match_points(
     )
     is_edge = cand["species"] == EDGELET
 
-    px_out = jnp.zeros((n, 2), jnp.float32)
-    success = jnp.zeros((n,), bool)
     valid0 = cand["valid"] & cam.is_in_frame(px_proj, border=8)
 
+    # level-packed windows: one alignment pass for all candidates
+    from hso_tpu.ops.epipolar import pack_level_windows
+
+    scale_s = (2.0 ** -search_level.astype(jnp.float32))[:, None]
+    px_init = px_proj * scale_s
+    windows, anchors, img_hw = pack_level_windows(
+        cur_pyr, search_level, px_init[:, 0], px_init[:, 1], 24, n_levels
+    )
+    r2 = align2d(None, ref_border, px_init, valid=valid0 & ~is_edge,
+                 windows=windows, anchors=anchors, img_hw=img_hw)
+    r1 = align1d(None, grad_cur, ref_border, px_init, valid=valid0 & is_edge,
+                 windows=windows, anchors=anchors, img_hw=img_hw)
+    px_l = jnp.where(is_edge[:, None], r1["px"], r2["px"])
+    conv = jnp.where(is_edge, r1["converged"], r2["converged"])
+    patch = jnp.where(is_edge[:, None, None], r1["cur_patch"], r2["cur_patch"])
+
+    score = ncc(ref_patch, patch)
+    disp_ok = jnp.linalg.norm(px_l - px_init, axis=-1) < 20.0
+
+    gx_c = jnp.zeros((n,), jnp.float32)
+    gy_c = jnp.zeros((n,), jnp.float32)
     for lvl in range(n_levels):
-        img = cur_pyr[lvl]
-        sel = valid0 & (search_level == lvl)
-        scale = 1.0 / (1 << lvl)
-        px_init = px_proj * scale
+        sel = search_level == lvl
+        gx_l = sample_points(cur_sobel_x[lvl], px_l[:, 0], px_l[:, 1])
+        gy_l = sample_points(cur_sobel_y[lvl], px_l[:, 0], px_l[:, 1])
+        gx_c = jnp.where(sel, gx_l, gx_c)
+        gy_c = jnp.where(sel, gy_l, gy_c)
+    gn = jnp.stack([gx_c, gy_c], -1)
+    gn = gn / jnp.maximum(jnp.linalg.norm(gn, axis=-1, keepdims=True), 1e-9)
+    normal_ok = jnp.where(
+        is_edge, jnp.sum(grad_cur * gn, axis=-1) > edgelet_cos_angle, True
+    )
 
-        r2 = align2d(img, ref_border, px_init, valid=sel & ~is_edge)
-        r1 = align1d(img, grad_cur, ref_border, px_init, valid=sel & is_edge)
-        px_l = jnp.where(is_edge[:, None], r1["px"], r2["px"])
-        conv = jnp.where(is_edge, r1["converged"], r2["converged"])
-        patch = jnp.where(is_edge[:, None, None], r1["cur_patch"], r2["cur_patch"])
-
-        score = ncc(ref_patch, patch)
-        disp_ok = jnp.linalg.norm(px_l - px_init, axis=-1) < 20.0
-
-        gx_c = sample_points(cur_sobel_x[lvl], px_l[:, 0], px_l[:, 1])
-        gy_c = sample_points(cur_sobel_y[lvl], px_l[:, 0], px_l[:, 1])
-        gn = jnp.stack([gx_c, gy_c], -1)
-        gn = gn / jnp.maximum(jnp.linalg.norm(gn, axis=-1, keepdims=True), 1e-9)
-        normal_ok = jnp.where(
-            is_edge, jnp.sum(grad_cur * gn, axis=-1) > edgelet_cos_angle, True
-        )
-
-        ok = sel & conv & (score > 0.7) & disp_ok & normal_ok
-        px_out = jnp.where(ok[:, None], px_l * float(1 << lvl), px_out)
-        success = success | ok
-
+    success = valid0 & conv & (score > 0.7) & disp_ok & normal_ok
+    px_out = jnp.where(
+        success[:, None], px_l * (2.0 ** search_level.astype(jnp.float32))[:, None], 0.0
+    )
     f_cur = cam.cam2world(px_out)
     return {
         "px": px_out,

@@ -1,0 +1,83 @@
+"""Dataset runner — the ``test_dataset`` CLI equivalent
+(/root/reference/test/test_dataset.cpp): same key=value arguments, same
+TUM-format keyframe trajectory output for evo evaluation.
+
+    python scripts/run_dataset.py image=<dir> calib=<file> [times=<file>]
+        [start=<n>] [end=<n>] [name=<result name>] [cpu=1]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def main() -> None:
+    args = dict(a.split("=", 1) for a in sys.argv[1:] if "=" in a)
+    if "image" not in args or "calib" not in args:
+        print(__doc__)
+        sys.exit(1)
+
+    if args.get("cpu"):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    from hso_tpu.io.calib import parse_calib
+    from hso_tpu.io.image_reader import ImageReader
+    from hso_tpu.io.trajectory import save_keyframe_trajectory
+    from hso_tpu.pipeline.frame_handler import FrameHandler
+
+    cam = parse_calib(args["calib"])
+    reader = ImageReader(args["image"], (cam.width, cam.height), args.get("times"))
+    start = int(args.get("start", 0))
+    end = min(int(args.get("end", len(reader))), len(reader))
+    name = args.get("name", "KeyFrameTrajectory")
+
+    undistort = getattr(cam, "undistort_image", False)
+    if undistort:
+        import jax.numpy as jnp
+
+        from hso_tpu.image.pyramid import remap_bilinear
+
+        mx, my = cam.undistort_remap()
+        mx_j, my_j = jnp.asarray(mx), jnp.asarray(my)
+        cam_pipeline = cam.ideal()
+    else:
+        cam_pipeline = cam
+
+    vo = FrameHandler(cam_pipeline)
+    t0 = time.time()
+    n_fail = 0
+    for i in range(start, end):
+        img = reader.read_image(i)
+        if undistort:
+            img = np.asarray(remap_bilinear(jnp.asarray(img), mx_j, my_j)).astype(
+                np.uint8
+            )
+        res = vo.add_image(img, ts=float(i))
+        if vo.last_frame is not None:
+            vo.last_frame.stamp_str = reader.read_stamp(i)
+        n_fail += res.status == "failure"
+        if (i - start) % 50 == 0:
+            el = time.time() - t0
+            print(
+                f"[{i}/{end}] {res.status:12s} inl={res.n_inliers:3d} "
+                f"kfs={len(vo.kfs.frames)} pts={int(vo.points.valid.sum())} "
+                f"fps={max(i - start, 1) / el:.1f}"
+            )
+
+    dt = time.time() - t0
+    out = os.path.join("result", f"{name}.txt")
+    n_kf = save_keyframe_trajectory(vo, out)
+    print(
+        f"done: {end - start} frames in {dt:.1f}s ({(end - start) / dt:.1f} fps), "
+        f"{n_kf} keyframes -> {out}, {n_fail} failures"
+    )
+
+
+if __name__ == "__main__":
+    main()
