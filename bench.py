@@ -27,6 +27,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 import jax
+
+# persistent compile cache: axon remote compiles are slow (minutes for the
+# fused scan) and the service degrades under load — cache across runs
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 
 from hso_tpu.cameras import PinholeCamera

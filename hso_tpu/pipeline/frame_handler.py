@@ -582,7 +582,10 @@ class FrameHandler:
             return FrameResult(RESULT_FAILURE, frame.T_f_w)
         ref = self.kfs.last()
         if ref.data is None:
-            return FrameResult(RESULT_FAILURE, frame.T_f_w)
+            # no stored pyramid (e.g. after checkpoint resume): relocalize
+            # against the MAP — the memoized point windows make direct
+            # matching possible without any keyframe image
+            return self._relocalize_by_map(frame)
         frame.T_f_w = self.last_frame.T_f_w.copy()
         tracker = make_coarse_tracker(
             self.cam, max_level=self.cfg.klt_max_level,
@@ -610,6 +613,43 @@ class FrameHandler:
             self.last_frame = ref
             return self._process_default(frame)
         return FrameResult(RESULT_FAILURE, frame.T_f_w)
+
+    def _relocalize_by_map(self, frame: Frame) -> FrameResult:
+        """Match memoized point windows + pose LM, iterated: the first pass
+        closes most of the pose gap, the second matches with the corrected
+        prior (no keyframe image needed)."""
+        frame.T_f_w = self.last_frame.T_f_w.copy()
+        frame.exposure = getattr(self.last_frame, "exposure", 1.0)
+        n = n_inl = 0
+        for attempt in range(4):
+            frame.obs = empty_obs(self.cfg.n_fts_max)
+            n = self._reproject(frame)
+            if n < 8:
+                return FrameResult(RESULT_FAILURE, frame.T_f_w, n_matches=n)
+            o = frame.obs
+            ov = o["valid"] & (o["point_id"] >= 0)
+            pid = np.where(ov, o["point_id"], 0)
+            p_world = self.points.positions(self.kfs.poses)[pid].astype(np.float32)
+            pout = optimize_pose(
+                jnp.asarray(frame.T_f_w, jnp.float32), jnp.asarray(p_world),
+                jnp.asarray(o["f"], jnp.float32), jnp.asarray(o["level"]),
+                jnp.asarray(o["grad"], jnp.float32), jnp.asarray(o["species"] == 1),
+                jnp.asarray(self.points.type[pid] == TYPE_TEMPORARY),
+                jnp.asarray(ov), focal=float(self.cam.focal_mean),
+            )
+            n_inl = int(pout["n_inliers"])
+            # with a stale prior the NCC-verified matches are trustworthy even
+            # when the inlier strip is harsh — adopt the LM pose and re-match
+            frame.T_f_w = se3np.normalize(np.asarray(pout["T_f_w"], np.float64))
+            if n_inl >= 30:
+                break
+        if n_inl < 30:
+            return FrameResult(RESULT_FAILURE, frame.T_f_w, n_matches=n)
+        self.stage = STAGE_DEFAULT
+        self.motion_model = se3np.identity()
+        self.n_last_inliers = n_inl
+        self.regular_counter += 1
+        return FrameResult(RESULT_FRAME, frame.T_f_w, n, n_inl)
 
     def _restart(self) -> None:
         self.stage = STAGE_FIRST
