@@ -33,6 +33,12 @@ def main() -> None:
 
     cam = parse_calib(args["calib"])
     reader = ImageReader(args["image"], (cam.width, cam.height), args.get("times"))
+    # prefer the native prefetching decoder when built
+    from hso_tpu.io import native_reader as nr
+
+    native = None
+    if nr.native_available() and not args.get("no_native"):
+        native = nr.NativeImageReader(args["image"], (cam.width, cam.height))
     start = int(args.get("start", 0))
     end = min(int(args.get("end", len(reader))), len(reader))
     name = args.get("name", "KeyFrameTrajectory")
@@ -52,8 +58,14 @@ def main() -> None:
     vo = FrameHandler(cam_pipeline)
     t0 = time.time()
     n_fail = 0
+    if native is not None:
+        native.start(start, end)
+        stream = iter(native)
     for i in range(start, end):
-        img = reader.read_image(i)
+        if native is not None:
+            _, img = next(stream)
+        else:
+            img = reader.read_image(i)
         if undistort:
             img = np.asarray(remap_bilinear(jnp.asarray(img), mx_j, my_j)).astype(
                 np.uint8
