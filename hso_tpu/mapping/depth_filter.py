@@ -41,6 +41,7 @@ from hso_tpu.ops.gatherless import bilinear_scatter_in_windows, clip_anchor, ext
 from hso_tpu.ops.warp import best_search_level, warp_matrices
 
 HOST_WIN = 24          #: stored host-image window edge
+N_OBS_RING = 8         #: per-seed observation ring for activation refinement
 SEED_FIELDS = (
     "valid", "host", "px", "f", "level", "species", "grad",
     "mu", "sigma2", "a", "b", "z_range", "converge_thresh", "batch_id",
@@ -66,6 +67,14 @@ def empty_seeds(s_max: int):
         "host_win": jnp.zeros((s_max, HOST_WIN, HOST_WIN), jnp.float32),
         "host_anchor": jnp.zeros((s_max, 2), jnp.int32),
         "n_updates": z2,  # per-seed successful observation count (diagnostics)
+        # observation ring for multi-view activation refinement
+        # (the reference's optFrames_P/A lists, depth_filter.h:73-75)
+        "obs_uv": jnp.zeros((s_max, N_OBS_RING, 2), jnp.float32),
+        "obs_T": jnp.zeros((s_max, N_OBS_RING, 3, 4), jnp.float32),
+        "obs_valid": jnp.zeros((s_max, N_OBS_RING), bool),
+        "obs_count": jnp.zeros((s_max,), jnp.int32),
+        # TEMPORARY map point spawned from this seed (Seed::temp linkage), -1 none
+        "temp_point": jnp.full((s_max,), -1, jnp.int32),
     }
 
 
@@ -137,6 +146,11 @@ def init_seeds(
         "host_win": win,
         "host_anchor": anch,
         "n_updates": jnp.zeros((n_det,), jnp.float32),
+        "obs_uv": jnp.zeros((n_det, N_OBS_RING, 2), jnp.float32),
+        "obs_T": jnp.zeros((n_det, N_OBS_RING, 3, 4), jnp.float32),
+        "obs_valid": jnp.zeros((n_det, N_OBS_RING), bool),
+        "obs_count": jnp.zeros((n_det,), jnp.int32),
+        "temp_point": jnp.full((n_det,), -1, jnp.int32),
     }
     for field, values in assign.items():
         new[field] = seeds[field].at[slot].set(
@@ -312,6 +326,23 @@ def update_seeds(
     out["b"] = jnp.where(visible & ~meas_ok, seeds["b"] + 1.0, seeds["b"])
     out["n_updates"] = seeds["n_updates"] + upd.astype(jnp.float32)
 
+    # record the observation (unit-plane measurement + frame pose) in the
+    # per-seed ring for activation refinement
+    slot = seeds["obs_count"] % N_OBS_RING
+    rows = jnp.arange(s_max)
+    uv_meas = f_cur[:, :2] / jnp.maximum(f_cur[:, 2:3], 1e-9)
+    out["obs_uv"] = seeds["obs_uv"].at[rows, slot].set(
+        jnp.where(upd[:, None], uv_meas, seeds["obs_uv"][rows, slot])
+    )
+    T_cur_b = jnp.broadcast_to(jnp.asarray(T_cur_w, jnp.float32), (s_max, 3, 4))
+    out["obs_T"] = seeds["obs_T"].at[rows, slot].set(
+        jnp.where(upd[:, None, None], T_cur_b, seeds["obs_T"][rows, slot])
+    )
+    out["obs_valid"] = seeds["obs_valid"].at[rows, slot].set(
+        jnp.where(upd, True, seeds["obs_valid"][rows, slot])
+    )
+    out["obs_count"] = seeds["obs_count"] + upd.astype(jnp.int32)
+
     return out, {
         "n_visible": jnp.sum(visible.astype(jnp.int32)),
         "n_updated": jnp.sum(upd.astype(jnp.int32)),
@@ -320,17 +351,70 @@ def update_seeds(
     }
 
 
+def _activation_refine(seeds, host_T_w, n_iter: int = 8):
+    """Multi-view inverse-distance refinement over the per-seed observation
+    ring — the batched analogue of the reference's ``seedOptimizer``
+    (depth_filter.cpp:854-1076; GN on 1-DoF idist over ≤30 target views).
+
+    Returns (mu_refined, refine_ok)."""
+    T_h = host_T_w[seeds["host"]]                       # (S,3,4)
+    T_th = se3.mul(seeds["obs_T"], se3.inv(T_h)[:, None])   # (S,R,3,4)
+    fH = seeds["f"]
+    m = seeds["obs_valid"]
+    n_obs = jnp.sum(m.astype(jnp.int32), axis=-1)
+
+    def residuals(rho):
+        q = fH / jnp.maximum(rho, 1e-10)[:, None]
+        pT = se3.apply(T_th, q[:, None, :])             # (S,R,3)
+        z = jnp.where(jnp.abs(pT[..., 2]) < 1e-9, 1e-9, pT[..., 2])
+        proj = pT[..., :2] / z[..., None]
+        r = seeds["obs_uv"] - proj                      # (S,R,2)
+        # d proj/d rho (same algebra as ba/local_ba Juvdd)
+        t_th = T_th[..., :3, 3]
+        Rf = jnp.einsum("srij,sj->sri", T_th[..., :3, :3], fH)
+        den = Rf[..., 2] + rho[:, None] * t_th[..., 2]
+        den = jnp.where(jnp.abs(den) < 1e-9, 1e-9, den)
+        J0 = -(t_th[..., 0] - proj[..., 0] * t_th[..., 2]) / den
+        J1 = -(t_th[..., 1] - proj[..., 1] * t_th[..., 2]) / den
+        # J0/J1 are ∂(obs - proj)/∂rho directly (same closed form the BA
+        # solver uses, autodiff-verified there)
+        J = jnp.stack([J0, J1], axis=-1)                # (S,R,2)
+        return r, J
+
+    def body(_, rho):
+        r, Jr = residuals(rho)
+        w = m.astype(jnp.float32)
+        H = jnp.sum(w * jnp.sum(Jr * Jr, -1), axis=-1) + 1e-12
+        g = -jnp.sum(w * jnp.sum(Jr * r, -1), axis=-1)
+        step = g / H
+        rho_new = rho + step
+        ok = jnp.isfinite(rho_new) & (rho_new > 1e-10)
+        return jnp.where(ok, rho_new, rho)
+
+    rho0 = seeds["mu"]
+    rho = jax.lax.fori_loop(0, n_iter, body, rho0)
+    # acceptance gate: enough views and the refinement stayed within the
+    # filter's ±3σ belief (the reference's mean-shift gate analogue)
+    sigma = jnp.sqrt(jnp.maximum(seeds["sigma2"], 0.0))
+    ok = (n_obs >= 3) & (jnp.abs(rho - rho0) < 3.0 * sigma + 1e-6) & (rho > 1e-10)
+    return jnp.where(ok, rho, rho0), ok
+
+
 @jax.jit
-def harvest_and_prune(seeds, batch_counter, max_batches: int = 3):
-    """Extract converged seeds and kill stale ones (updateSeeds tail,
-    depth_filter.cpp:375-498).
+def harvest_and_prune(seeds, batch_counter, host_T_w=None, max_batches: int = 3):
+    """Extract converged seeds (with multi-view activation refinement) and
+    kill stale ones (updateSeeds tail, depth_filter.cpp:375-498).
 
     Returns (seeds', converged mask, converged snapshot fields)."""
     sigma = jnp.sqrt(jnp.maximum(seeds["sigma2"], 0.0))
     converged = seeds["valid"] & (
         sigma < seeds["z_range"] / jnp.maximum(seeds["converge_thresh"], 1e-6)
     )
-    mu_ok = (seeds["mu"] > 1e-10) & ((seeds["f"][:, 2] / jnp.maximum(seeds["mu"], 1e-10)) > 1e-10)
+    mu = seeds["mu"]
+    if host_T_w is not None:
+        mu_ref, _ = _activation_refine(seeds, host_T_w)
+        mu = jnp.where(converged, mu_ref, mu)
+    mu_ok = (mu > 1e-10) & ((seeds["f"][:, 2] / jnp.maximum(mu, 1e-10)) > 1e-10)
     converged &= mu_ok
     stale = seeds["valid"] & (
         (batch_counter - seeds["batch_id"]) > max_batches
@@ -340,6 +424,7 @@ def harvest_and_prune(seeds, batch_counter, max_batches: int = 3):
     snapshot = {
         "host": seeds["host"], "px": seeds["px"], "f": seeds["f"],
         "level": seeds["level"], "species": seeds["species"],
-        "grad": seeds["grad"], "mu": seeds["mu"], "sigma2": seeds["sigma2"],
+        "grad": seeds["grad"], "mu": mu, "sigma2": seeds["sigma2"],
+        "temp_point": seeds["temp_point"],
     }
-    return out, converged, snapshot
+    return out, converged, snapshot, stale

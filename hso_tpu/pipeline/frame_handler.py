@@ -294,6 +294,11 @@ class FrameHandler:
 
         # ---- 2. reprojection + direct matching ----
         n_matches = self._reproject(frame)
+        if n_matches < 100:
+            # sparse frame: also match unconverged depth-filter seeds,
+            # creating TEMPORARY points (Reprojector::reprojectorSeeds,
+            # reprojector.cpp:309-328,431-502)
+            n_matches += self._reproject_seeds(frame, n_matches)
         if n_matches < cfg.quality_min_fts:
             frame.T_f_w = last.T_f_w.copy()
             self.stage = STAGE_RELOC
@@ -453,6 +458,90 @@ class FrameHandler:
         o["point_id"][:n_m] = cidx[w]
         return n_m
 
+    def _reproject_seeds(self, frame: Frame, n_have: int) -> int:
+        """Match unconverged seeds into the frame; successful matches spawn
+        TEMPORARY map points (half-weighted in pose optimization)."""
+        sd = {k: np.asarray(v) for k, v in self.seeds.items()
+              if k in ("valid", "host", "px", "f", "level", "species", "grad",
+                       "mu", "host_win", "host_anchor", "temp_point")}
+        alive = sd["valid"] & (sd["temp_point"] < 0) & (sd["mu"] > 1e-10)
+        if alive.sum() == 0:
+            return 0
+        host_kf = self.seed_ring[sd["host"]]
+        T_h = self.kfs.poses[host_kf]
+        # parallax gate (findMatchSeed, matcher.cpp:442-449): cos angle > 0.5
+        p_w = se3np.apply(se3np.inv(T_h), (sd["f"] / np.maximum(sd["mu"], 1e-10)[:, None]).astype(np.float64))
+        host_pos = se3np.translation(se3np.inv(T_h))
+        cur_pos = se3np.translation(se3np.inv(frame.T_f_w))
+        d_ref = host_pos - p_w
+        d_cur = cur_pos - p_w
+        cosang = np.sum(d_ref * d_cur, -1) / np.maximum(
+            np.linalg.norm(d_ref, axis=-1) * np.linalg.norm(d_cur, axis=-1), 1e-9
+        )
+        alive &= cosang > 0.5
+        idxs = np.where(alive)[0]
+        if len(idxs) == 0:
+            return 0
+        n_max = self.cfg.n_fts_max
+        idxs = idxs[: n_max]
+        cidx = np.pad(idxs, (0, n_max - len(idxs)))
+        cand = {
+            "host_win": jnp.asarray(sd["host_win"][cidx]),
+            "host_anchor": jnp.asarray(sd["host_anchor"][cidx]),
+            "host_px": jnp.asarray(sd["px"][cidx]),
+            "host_f": jnp.asarray(sd["f"][cidx]),
+            "host_level": jnp.asarray(sd["level"][cidx]),
+            "grad": jnp.asarray(sd["grad"][cidx]),
+            "species": jnp.asarray(sd["species"][cidx]),
+            "idist": jnp.asarray(sd["mu"][cidx]),
+            "T_host_w": jnp.asarray(T_h[cidx], jnp.float32),
+            "exposure_host": jnp.asarray(self.kfs.exposure[host_kf[cidx]]),
+            "valid": jnp.asarray(np.arange(n_max) < len(idxs)),
+        }
+        d = frame.data
+        mout = match_points(
+            cand, d["pyr"], d["sobel_x"], d["sobel_y"],
+            jnp.asarray(frame.T_f_w, jnp.float32), frame.exposure, self.cam,
+        )
+        success = np.asarray(mout["success"]) & (np.arange(n_max) < len(idxs))
+        wsel = np.where(success)[0]
+        budget = max(0, min(len(wsel), self.cfg.n_fts_max - n_have))
+        wsel = wsel[:budget]
+        if len(wsel) == 0:
+            return 0
+        pidx = self.points.alloc(len(wsel))
+        m = len(pidx)
+        wsel = wsel[:m]
+        s_ids = cidx[wsel]
+        pts = self.points
+        pts.valid[pidx] = True
+        pts.type[pidx] = TYPE_TEMPORARY
+        pts.host_kf[pidx] = host_kf[s_ids]
+        pts.host_px[pidx] = sd["px"][s_ids]
+        pts.host_f[pidx] = sd["f"][s_ids]
+        pts.host_level[pidx] = sd["level"][s_ids]
+        pts.species[pidx] = sd["species"][s_ids]
+        pts.grad[pidx] = sd["grad"][s_ids]
+        pts.idist[pidx] = sd["mu"][s_ids]
+        pts.host_win[pidx] = sd["host_win"][s_ids]
+        pts.host_anchor[pidx] = sd["host_anchor"][s_ids]
+        # link seed → temp point
+        self.seeds["temp_point"] = (
+            self.seeds["temp_point"].at[jnp.asarray(s_ids)].set(jnp.asarray(pidx))
+        )
+        # observations
+        o = frame.obs
+        free = np.where(~o["valid"])[0][: m]
+        px = np.asarray(mout["px"])[wsel]
+        o["valid"][free] = True
+        o["px"][free] = px
+        o["f"][free] = np.asarray(mout["f_cur"])[wsel]
+        o["level"][free] = np.asarray(mout["level"])[wsel]
+        o["species"][free] = sd["species"][s_ids]
+        o["grad"][free] = np.asarray(mout["grad_cur"])[wsel]
+        o["point_id"][free] = pidx
+        return len(free)
+
     def _need_new_kf(self, frame: Frame, distance_mean: float) -> bool:
         if self.regular_counter < 3:
             return False
@@ -493,13 +582,16 @@ class FrameHandler:
         return judgement > 1.0
 
     # ---------------------------------------------------------------- mapping
-    def _depth_filter_sweep(self, frame: Frame) -> int:
-        ring_T = np.stack(
+    def _ring_poses(self) -> np.ndarray:
+        return np.stack(
             [
                 self.kfs.poses[i] if i >= 0 else se3np.identity()
                 for i in self.seed_ring
             ]
         ).astype(np.float32)
+
+    def _depth_filter_sweep(self, frame: Frame) -> int:
+        ring_T = self._ring_poses()
         ring_exp = np.array(
             [self.kfs.exposure[i] if i >= 0 else 1.0 for i in self.seed_ring],
             np.float32,
@@ -516,24 +608,48 @@ class FrameHandler:
         return int(stats["n_updated"])
 
     def _harvest_seeds(self) -> int:
-        self.seeds, conv, snap = harvest_and_prune(
-            self.seeds, self.batch_counter, self.cfg.max_seed_kf_batches
+        seeds_before = self.seeds
+        self.seeds, conv, snap, stale = harvest_and_prune(
+            self.seeds, self.batch_counter, jnp.asarray(self._ring_poses()),
+            self.cfg.max_seed_kf_batches,
         )
         conv = np.asarray(conv)
+        stale = np.asarray(stale)
+        temp_ids = np.asarray(snap["temp_point"])
+
+        # stale seeds: their TEMPORARY points die with them (seedStates_ = -1)
+        dead_tmp = temp_ids[stale & (temp_ids >= 0)]
+        dead_tmp = dead_tmp[self.points.type[dead_tmp] == TYPE_TEMPORARY]
+        self.points.release(dead_tmp)
+
         n_conv = int(conv.sum())
         if n_conv == 0:
             return 0
         # converge-rate statistic (nMeanConvergeFrame_)
-        n_upd = np.asarray(self.seeds["n_updates"])[conv]
+        n_upd = np.asarray(seeds_before["n_updates"])[conv]
         if len(n_upd):
             self.mean_converge_frames = 0.7 * self.mean_converge_frames + 0.3 * float(
                 np.mean(np.maximum(n_upd, 1.0))
             )
-        idx = self.points.alloc(n_conv)
+
+        # converged seeds with a live TEMPORARY point: promote it in place
+        # (seedStates_ = +1 path) instead of creating a duplicate
+        w_all = np.where(conv)[0]
+        promote = w_all[(temp_ids[w_all] >= 0)]
+        promoted = 0
+        for s in promote:
+            p = int(temp_ids[s])
+            if self.points.valid[p] and self.points.type[p] == TYPE_TEMPORARY:
+                self.points.type[p] = TYPE_CANDIDATE
+                self.points.idist[p] = float(np.asarray(snap["mu"])[s])
+                promoted += 1
+        w = np.array([s for s in w_all if temp_ids[s] < 0], dtype=int)
+
+        idx = self.points.alloc(len(w))
         m = len(idx)
         if m == 0:
-            return 0
-        w = np.where(conv)[0][:m]
+            return promoted
+        w = w[:m]
         host_ring = np.asarray(snap["host"])[w]
         self.points.valid[idx] = True
         self.points.type[idx] = TYPE_CANDIDATE
@@ -544,11 +660,11 @@ class FrameHandler:
         self.points.species[idx] = np.asarray(snap["species"])[w]
         self.points.grad[idx] = np.asarray(snap["grad"])[w]
         self.points.idist[idx] = np.asarray(snap["mu"])[w]
-        self.points.host_win[idx] = np.asarray(self.seeds["host_win"])[w]
-        self.points.host_anchor[idx] = np.asarray(self.seeds["host_anchor"])[w]
+        self.points.host_win[idx] = np.asarray(seeds_before["host_win"])[w]
+        self.points.host_anchor[idx] = np.asarray(seeds_before["host_anchor"])[w]
         self.points.n_succ[idx] = 0
         self.points.n_fail[idx] = 0
-        return m
+        return m + promoted
 
     def _add_keyframe_seeds(self, frame: Frame, depth_mean, depth_min,
                             converge_thresh) -> None:

@@ -83,17 +83,24 @@ def test_seeds_converge_to_true_depth(setup):
     zr = np.asarray(seeds["z_range"])[upd_mask]
     assert np.median(sig / zr) < 0.05
 
-    # harvest: some should be converged now
-    seeds2, conv, snap = harvest_and_prune(seeds, 2)
-    assert int(np.asarray(conv).sum()) > 10
+    # harvest with activation refinement: some should be converged now
+    seeds2, conv, snap, _stale = harvest_and_prune(seeds, 2, host_T)
+    conv_np = np.asarray(conv)
+    assert int(conv_np.sum()) > 10
     # converged removed from live set
-    assert int(np.asarray(seeds2["valid"]).sum()) == valid.sum() - int(np.asarray(conv).sum())
+    assert int(np.asarray(seeds2["valid"]).sum()) == valid.sum() - int(conv_np.sum())
+    # refined inverse distances stay accurate
+    mu_ref = np.asarray(snap["mu"])[conv_np]
+    d_gt2 = scene.depth_along_ray(np.asarray(seeds["px"])[conv_np].astype(np.float64))
+    rel2 = np.abs(1.0 / mu_ref - d_gt2) / d_gt2
+    assert np.median(rel2) < 0.02
 
 
 def test_prune_stale(setup):
     seeds = setup["seeds"]
     # batch counter far in the future: all seeds stale
-    seeds2, conv, _ = harvest_and_prune(seeds, 100)
+    seeds2, conv, _, stale = harvest_and_prune(seeds, 100)
+    assert int(np.asarray(stale).sum()) == int(np.asarray(seeds["valid"]).sum())
     assert int(np.asarray(seeds2["valid"]).sum()) == 0
 
 
