@@ -56,7 +56,32 @@ class PointTable:
         self.host_anchor = np.zeros((p_max, 2), np.int32)
         self.n_succ = np.zeros(p_max, np.int32)
         self.n_fail = np.zeros(p_max, np.int32)
+        # patch source: the keyframe view the matcher warps reference patches
+        # from.  The reference re-selects the closest-angle observation per
+        # match (``Point::getCloseViewObs``, point.cpp:97-137); here each point
+        # keeps ONE memoized source view, refreshed whenever the point is
+        # observed in a new keyframe (recency ≈ closest view under smooth
+        # motion), while host_* stays the BA anchor.
+        self.patch_kf = np.zeros(p_max, np.int32)
+        self.patch_px = np.zeros((p_max, 2), np.float32)
+        self.patch_f = np.zeros((p_max, 3), np.float32)
+        self.patch_level = np.zeros(p_max, np.int32)
+        self.patch_grad = np.zeros((p_max, 2), np.float32)
+        self.patch_win = np.zeros((p_max, HOST_WIN, HOST_WIN), np.float32)
+        self.patch_anchor = np.zeros((p_max, 2), np.int32)
         self._free = list(range(p_max - 1, -1, -1))
+
+    PATCH_FIELDS = (
+        ("patch_kf", "host_kf"), ("patch_px", "host_px"),
+        ("patch_f", "host_f"), ("patch_level", "host_level"),
+        ("patch_grad", "grad"), ("patch_win", "host_win"),
+        ("patch_anchor", "host_anchor"),
+    )
+
+    def init_patch_from_host(self, idx) -> None:
+        """New points start with the host view as the patch source."""
+        for dst, src in self.PATCH_FIELDS:
+            getattr(self, dst)[idx] = getattr(self, src)[idx]
 
     def alloc(self, n: int) -> np.ndarray:
         take = min(n, len(self._free))

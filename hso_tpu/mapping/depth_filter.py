@@ -21,10 +21,12 @@ is ONE jitted device call over a static seed table:
     ``max_seed_kf_batches`` keyframe batches, convergence harvesting at
     √σ² < z_range/converge_thresh) is slot allocation with masks.
 
-Deviations (documented): the reference's idle-time backfill from pre-frames
-(``observeDepthWithPreviousFrameOnce``) and the multi-view activation
-refinement (``activatePoint``/``seedOptimizer``) are not yet implemented —
-converged seeds enter the map directly and are polished by the windowed BA.
+The reference's idle-time backfill from pre-frames
+(``observeDepthWithPreviousFrameOnce``) runs here as masked sweeps of the
+newest seed batch against retained pre-frames at keyframe creation
+(``update_mask``); the multi-view activation refinement
+(``activatePoint``/``seedOptimizer``) is the batched GN over each seed's
+observation ring in :func:`_activation_refine`.
 """
 
 from __future__ import annotations
@@ -170,6 +172,9 @@ def update_seeds(
     cur_exposure,       # scalar
     px_error_angle,     # scalar
     cam,
+    update_mask=None,   # optional (S,) bool — restrict the sweep to a subset
+                        # (used by the pre-frame backfill to touch only the
+                        # newest seed batch, observeDepthWithPreviousFrameOnce)
     n_levels: int = 3,
 ):
     """One observation sweep: epipolar-match every visible seed in the current
@@ -190,6 +195,8 @@ def update_seeds(
         & (p_cur[:, 2] > 0.0)
         & cam.is_in_frame(px_cur0, border=8)
     )
+    if update_mask is not None:
+        visible &= update_mask
 
     z_inv_min = mu + 2.0 * sigma               # max inverse depth (close)
     z_inv_max = jnp.maximum(mu - 2.0 * sigma, 1e-8)

@@ -14,6 +14,9 @@ over images), keeping everything static-shape.
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 
 from hso_tpu.ops.gatherless import (
@@ -116,3 +119,24 @@ def warp_patches_border(
     pv = src[:, 1, :] + px_lvl_v[:, None] - av[:, None].astype(jnp.float32)
     vals = bilinear_scatter_in_windows(windows, pu, pv)
     return jnp.where(valid[:, None], vals, 0.0).reshape(n, BORD, BORD)
+
+
+@functools.partial(jax.jit, static_argnames=("win", "n_levels"))
+def memoize_level_windows(pyr, px, level, win: int = 24, n_levels: int = 3):
+    """Extract a (win × win) appearance window per row from its own pyramid
+    level (the "appearance memoization" primitive: one call at point/seed
+    creation or patch-source refresh, then matching never reads this pyramid
+    again).  ``px`` is in level-0 coordinates.  Returns (windows (N,win,win),
+    anchors (N,2) int32 in level coordinates)."""
+    n = px.shape[0]
+    out_w = jnp.zeros((n, win, win), jnp.float32)
+    out_a = jnp.zeros((n, 2), jnp.int32)
+    for lvl in range(n_levels):
+        img = pyr[lvl]
+        scale = 1.0 / (1 << lvl)
+        au, av = clip_anchor(px[:, 0] * scale, px[:, 1] * scale, win, 0, *img.shape)
+        w_l = extract_windows(img, au, av, win)
+        sel = level == lvl
+        out_w = jnp.where(sel[:, None, None], w_l, out_w)
+        out_a = jnp.where(sel[:, None], jnp.stack([au, av], -1), out_a)
+    return out_w, out_a

@@ -14,13 +14,16 @@ DEFAULT_FRAME ⇄ RELOCALIZING.  The DEFAULT path per frame:
   criterion → [KF: covisibility window + Schur BA + new seeds] →
   depth-filter observation sweep → motion model update.
 
-Simplifications for this round (tracked): no TEMPORARY-point reprojection of
-unconverged seeds, no pre-frame backfill, no relocalization beyond
-last-keyframe coarse tracking, essential-matrix-only bootstrap.
+Beyond the default path: TEMPORARY-point reprojection of unconverged seeds
+on sparse frames, pre-frame seed backfill at keyframe creation (the mapping
+thread's idle-time ``observeDepthWithPreviousFrameOnce``), per-point patch
+source refresh at keyframes (``getCloseViewObs`` analogue), E-matrix vs
+homography bootstrap model selection, and map-based relocalization.
 """
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 
 import numpy as np
@@ -99,6 +102,9 @@ class FrameHandler:
         self._grid = (cell, -(-cam.height // cell), -(-cam.width // cell))
         self._occ_cell = 32
         self._init_px = None
+        # retained recent frames for pre-frame seed backfill (the reference
+        # keeps a frame_prior_ deque in DepthFilter, depth_filter.cpp:338-351)
+        self.pre_frames: collections.deque = collections.deque(maxlen=3)
 
     # ------------------------------------------------------------------ utils
     def _make_frame(self, img_u8: np.ndarray, ts: float) -> Frame:
@@ -234,6 +240,7 @@ class FrameHandler:
         self.points.host_anchor[idx] = np.stack(
             [np.asarray(au), np.asarray(av)], axis=-1
         )
+        self.points.init_patch_from_host(idx)
 
         # observations in both keyframes
         for kf_frame, px_obs, f_obs in (
@@ -248,7 +255,10 @@ class FrameHandler:
             o["species"][:m] = 0
             o["point_id"][:m] = idx
 
-        # seed the depth filter from the second keyframe
+        # seed the depth filter from the second keyframe; the first keyframe
+        # serves as a pre-frame so new seeds get an immediate wide-baseline
+        # backfill observation
+        self.pre_frames.append(self.first_frame)
         self._add_keyframe_seeds(frame, depth_mean=cfg.map_scale,
                                  depth_min=float(dist1.min() * 0.5),
                                  converge_thresh=200.0)
@@ -360,6 +370,9 @@ class FrameHandler:
             seen = o["point_id"][o["valid"]]
             cand = seen[self.points.type[seen] == TYPE_CANDIDATE]
             self.points.type[cand] = TYPE_UNKNOWN
+            # observed points re-memoize their appearance from this view
+            # (getCloseViewObs analogue: recency ≈ closest viewing angle)
+            self._refresh_patch_sources(frame)
             self._run_ba(frame)
         else:
             self.regular_counter += 1
@@ -372,6 +385,7 @@ class FrameHandler:
             self._add_keyframe_seeds(frame, distance_mean, 0.5 * depth_min, thresh)
 
         self.motion_model = se3np.mul(frame.T_f_w, se3np.inv(last.T_f_w))
+        self.pre_frames.append(frame)
         return FrameResult(
             result, frame.T_f_w, n_matches, n_inliers, n_upd,
             float(pout["err_final_px"]),
@@ -400,19 +414,26 @@ class FrameHandler:
         pad = n_max - len(cand_idx)
         cidx = np.pad(cand_idx, (0, pad))
         pts = self.points
+        # warp from the memoized patch SOURCE view (latest keyframe obs —
+        # the getCloseViewObs analogue), anchored by inverse distance in
+        # that view; host_* stays the BA anchor.
+        pkf = pts.patch_kf[cidx]
+        T_p = self.kfs.poses[pkf]
+        p_in_patch = se3np.apply(T_p, pos_w[cidx].astype(np.float64))
+        idist_p = (
+            1.0 / np.maximum(np.linalg.norm(p_in_patch, axis=-1), 1e-9)
+        ).astype(np.float32)
         cand = {
-            "host_win": jnp.asarray(pts.host_win[cidx]),
-            "host_anchor": jnp.asarray(pts.host_anchor[cidx]),
-            "host_px": jnp.asarray(pts.host_px[cidx]),
-            "host_f": jnp.asarray(pts.host_f[cidx]),
-            "host_level": jnp.asarray(pts.host_level[cidx]),
-            "grad": jnp.asarray(pts.grad[cidx]),
+            "host_win": jnp.asarray(pts.patch_win[cidx]),
+            "host_anchor": jnp.asarray(pts.patch_anchor[cidx]),
+            "host_px": jnp.asarray(pts.patch_px[cidx]),
+            "host_f": jnp.asarray(pts.patch_f[cidx]),
+            "host_level": jnp.asarray(pts.patch_level[cidx]),
+            "grad": jnp.asarray(pts.patch_grad[cidx]),
             "species": jnp.asarray(pts.species[cidx]),
-            "idist": jnp.asarray(pts.idist[cidx]),
-            "T_host_w": jnp.asarray(
-                self.kfs.poses[pts.host_kf[cidx]], jnp.float32
-            ),
-            "exposure_host": jnp.asarray(self.kfs.exposure[pts.host_kf[cidx]]),
+            "idist": jnp.asarray(idist_p),
+            "T_host_w": jnp.asarray(T_p, jnp.float32),
+            "exposure_host": jnp.asarray(self.kfs.exposure[pkf]),
             "valid": jnp.asarray(np.arange(n_max) < len(cand_idx)),
         }
         d = frame.data
@@ -525,6 +546,7 @@ class FrameHandler:
         pts.idist[pidx] = sd["mu"][s_ids]
         pts.host_win[pidx] = sd["host_win"][s_ids]
         pts.host_anchor[pidx] = sd["host_anchor"][s_ids]
+        pts.init_patch_from_host(pidx)
         # link seed → temp point
         self.seeds["temp_point"] = (
             self.seeds["temp_point"].at[jnp.asarray(s_ids)].set(jnp.asarray(pidx))
@@ -541,6 +563,33 @@ class FrameHandler:
         o["grad"][free] = np.asarray(mout["grad_cur"])[wsel]
         o["point_id"][free] = pidx
         return len(free)
+
+    def _refresh_patch_sources(self, frame: Frame) -> None:
+        """Re-memoize the appearance window of every point observed in this
+        keyframe from the new view (Point::getCloseViewObs analogue — see
+        mapmodel/structures.py).  One batched window extraction."""
+        from hso_tpu.ops.warp import memoize_level_windows
+
+        o = frame.obs
+        sel = o["valid"] & (o["point_id"] >= 0)
+        if not sel.any():
+            return
+        wins, anchors = memoize_level_windows(
+            frame.data["pyr"], jnp.asarray(o["px"], jnp.float32),
+            jnp.asarray(o["level"]),
+        )
+        wins = np.asarray(wins)
+        anchors = np.asarray(anchors)
+        idxs = np.where(sel)[0]
+        pid = o["point_id"][idxs]
+        pts = self.points
+        pts.patch_kf[pid] = frame.kf_index
+        pts.patch_px[pid] = o["px"][idxs]
+        pts.patch_f[pid] = o["f"][idxs]
+        pts.patch_level[pid] = o["level"][idxs]
+        pts.patch_grad[pid] = o["grad"][idxs]
+        pts.patch_win[pid] = wins[idxs]
+        pts.patch_anchor[pid] = anchors[idxs]
 
     def _need_new_kf(self, frame: Frame, distance_mean: float) -> bool:
         if self.regular_counter < 3:
@@ -662,6 +711,7 @@ class FrameHandler:
         self.points.idist[idx] = np.asarray(snap["mu"])[w]
         self.points.host_win[idx] = np.asarray(seeds_before["host_win"])[w]
         self.points.host_anchor[idx] = np.asarray(seeds_before["host_anchor"])[w]
+        self.points.init_patch_from_host(idx)
         self.points.n_succ[idx] = 0
         self.points.n_fail[idx] = 0
         return m + promoted
@@ -685,6 +735,34 @@ class FrameHandler:
             ring_slot, self.batch_counter, float(depth_mean),
             float(max(depth_min, 1e-3)), float(converge_thresh),
         )
+        self._backfill_new_seeds(frame)
+
+    def _backfill_new_seeds(self, frame: Frame) -> None:
+        """Sweep the just-created seed batch against retained pre-frames —
+        the mapping thread's idle-time backfill
+        (``observeDepthWithPreviousFrameOnce``, depth_filter.cpp:677-726),
+        done synchronously right at seed creation: pre-frames predate the
+        host keyframe, so they hand new seeds immediate parallax."""
+        new_mask = (
+            self.seeds["batch_id"] == self.batch_counter
+        ) & self.seeds["valid"]
+        ring_T = jnp.asarray(self._ring_poses())
+        ring_exp = jnp.asarray(
+            np.array(
+                [self.kfs.exposure[i] if i >= 0 else 1.0 for i in self.seed_ring],
+                np.float32,
+            )
+        )
+        for pf in list(self.pre_frames):
+            if pf is frame or pf.data is None or "sobel_x" not in pf.data:
+                continue
+            d = pf.data
+            self.seeds, _ = update_seeds(
+                self.seeds, ring_T, ring_exp,
+                d["pyr"], d["sobel_x"], d["sobel_y"],
+                jnp.asarray(pf.T_f_w, jnp.float32), pf.exposure,
+                self.px_error_angle, self.cam, update_mask=new_mask,
+            )
 
     # ---------------------------------------------------------------- BA
     def _run_ba(self, center: Frame) -> None:

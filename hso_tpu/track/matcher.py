@@ -6,10 +6,12 @@ host patch, search-level selection, exposure compensation, inverse-
 compositional alignment (2D for corners, along-normal 1D for edgelets), NCC
 and edgelet-normal acceptance gates, 20 px displacement cap.
 
-Deviation (documented): the reference warps from the observation with the
-closest viewing angle (``getCloseViewObs``); we warp from the *host* feature
-whose appearance was memoized at point creation.  For the sliding-window map
-the host is recent; viewing-angle degradation is absorbed by the NCC gate.
+The reference warps from the observation with the closest viewing angle
+(``getCloseViewObs``); here each point carries ONE memoized patch-source
+view, refreshed whenever the point is observed in a new keyframe
+(PointTable.patch_*), which the pipeline passes as the ``host_*`` candidate
+rows — recency approximates closest angle under smooth motion, and residual
+viewing-angle degradation is absorbed by the NCC gate.
 """
 
 from __future__ import annotations

@@ -25,6 +25,10 @@ def save_checkpoint(handler, path: str) -> None:
         "pt_grad": pts.grad, "pt_idist": pts.idist, "pt_host_win": pts.host_win,
         "pt_host_anchor": pts.host_anchor, "pt_n_succ": pts.n_succ,
         "pt_n_fail": pts.n_fail,
+        "pt_patch_kf": pts.patch_kf, "pt_patch_px": pts.patch_px,
+        "pt_patch_f": pts.patch_f, "pt_patch_level": pts.patch_level,
+        "pt_patch_grad": pts.patch_grad, "pt_patch_win": pts.patch_win,
+        "pt_patch_anchor": pts.patch_anchor,
         # keyframes
         "kf_poses": handler.kfs.poses, "kf_exposure": handler.kfs.exposure,
         "kf_count": np.int64(len(handler.kfs.frames)),
@@ -74,6 +78,16 @@ def load_checkpoint(handler, path: str) -> None:
     pts.host_anchor = z["pt_host_anchor"].copy()
     pts.n_succ = z["pt_n_succ"].copy()
     pts.n_fail = z["pt_n_fail"].copy()
+    if "pt_patch_kf" in z.files:
+        pts.patch_kf = z["pt_patch_kf"].copy()
+        pts.patch_px = z["pt_patch_px"].copy()
+        pts.patch_f = z["pt_patch_f"].copy()
+        pts.patch_level = z["pt_patch_level"].copy()
+        pts.patch_grad = z["pt_patch_grad"].copy()
+        pts.patch_win = z["pt_patch_win"].copy()
+        pts.patch_anchor = z["pt_patch_anchor"].copy()
+    else:  # checkpoints written before patch sources existed
+        pts.init_patch_from_host(np.arange(pts.p_max))
     pts._free = [i for i in range(pts.p_max - 1, -1, -1) if not pts.valid[i]]
 
     handler.kfs.poses = z["kf_poses"].copy()
