@@ -118,30 +118,38 @@ def main() -> None:
             jnp.asarray(se3np.identity(), jnp.float32),
             seeds,
         )
-        (_, T_fin, _), traj = jax.lax.scan(step, carry0, frames[1:])
-        return T_fin, traj
+        (_, T_fin, seeds_fin), traj = jax.lax.scan(step, carry0, frames[1:])
+        # consume the seed state so XLA cannot dead-code-eliminate the
+        # depth-filter sweep (the mapping-thread half of the workload)
+        seed_chk = jnp.sum(seeds_fin["mu"]) + jnp.sum(seeds_fin["n_updates"])
+        return T_fin, traj, seed_chk
 
     # warmup / compile
-    T_fin, traj = run(frames_dev, seeds0)
+    T_fin, traj, seed_chk = run(frames_dev, seeds0)
     _ = np.asarray(T_fin)
 
     t0 = time.time()
     for _ in range(N_REPEATS):
-        T_fin, traj = run(frames_dev, seeds0)
+        T_fin, traj, seed_chk = run(frames_dev, seeds0)
         _ = np.asarray(T_fin)  # forced sync
     dt = time.time() - t0
+    assert np.isfinite(float(seed_chk)), "seed sweep produced non-finite state"
     fps = (N_FRAMES - 1) * N_REPEATS / dt
 
-    # sanity: tracked trajectory must match ground truth
+    # sanity: per-frame RELATIVE pose error vs ground truth (the bench runs
+    # the coarse tracker alone — dead-reckoning drift compounds by design;
+    # the full pipeline's reprojection + pose LM absorbs it)
     traj_np = np.asarray(traj, np.float64)
-    errs = [
-        np.linalg.norm(se3np.log(se3np.mul(traj_np[k - 1], se3np.inv(poses[k]))))
-        for k in range(1, N_FRAMES)
-    ]
+    est = [se3np.identity()] + [traj_np[k] for k in range(N_FRAMES - 1)]
+    errs = []
+    for k in range(1, N_FRAMES):
+        rel_est = se3np.mul(est[k], se3np.inv(est[k - 1]))
+        rel_gt = se3np.mul(poses[k], se3np.inv(poses[k - 1]))
+        errs.append(np.linalg.norm(se3np.log(se3np.mul(rel_est, se3np.inv(rel_gt)))))
     med_err = float(np.median(errs))
-    if med_err > 0.02:
-        print(f"WARNING: tracking error high ({med_err:.4f}) — bench may be computing garbage",
-              file=sys.stderr)
+    if med_err > 0.01:
+        print(f"WARNING: per-frame tracking error high ({med_err:.4f}) — "
+              "bench may be computing garbage", file=sys.stderr)
 
     print(json.dumps({
         "metric": "frontend_frames_per_s",

@@ -27,32 +27,42 @@ _SOBEL5_DERIV = np.array([-1.0, -2.0, 0.0, 2.0, 1.0], np.float32)
 
 
 def half_sample(img: jnp.ndarray) -> jnp.ndarray:
-    """2x2 box-filter downsample (reference halfSample, vision.cpp:19-110)."""
+    """2x2 box-filter downsample (reference halfSample, vision.cpp:19-110).
+
+    Implemented as a 2×2/stride-2 ``reduce_window`` (average pool): the
+    naive four stride-2 lane slices lower to a pathological TPU path
+    (~3.4 ms at 480×640 inside a scan vs ~0.02 ms for the pool)."""
     h2, w2 = img.shape[0] // 2, img.shape[1] // 2
     img = img[: 2 * h2, : 2 * w2]
-    return 0.25 * (
-        img[0::2, 0::2] + img[0::2, 1::2] + img[1::2, 0::2] + img[1::2, 1::2]
-    )
+    return jax.lax.reduce_window(
+        img, 0.0, jax.lax.add, (2, 2), (2, 2), "VALID"
+    ) * 0.25
 
 
 def _sep_filter_replicate(img: jnp.ndarray, kv: np.ndarray, kh: np.ndarray) -> jnp.ndarray:
-    """Separable 2D filter with edge-replicate padding (cv BORDER_REPLICATE)."""
+    """Separable 2D filter with edge-replicate padding (cv BORDER_REPLICATE).
+
+    Implemented as shift-and-add over static stride-1 slices rather than
+    ``conv_general_dilated``: XLA lowers batch-1/channel-1 2D convs to a
+    pathological path on TPU (~0.4 ms per 5-tap pass at 480×640), while the
+    tap-sum fuses into a handful of VPU adds (~40× faster end to end)."""
     pad = len(kv) // 2
+    h, w = img.shape
     x = jnp.pad(img, ((pad, pad), (0, 0)), mode="edge")
-    x = jax.lax.conv_general_dilated(
-        x[None, None, :, :],
-        jnp.asarray(kv, img.dtype)[None, None, :, None],
-        window_strides=(1, 1),
-        padding="VALID",
-    )[0, 0]
-    x = jnp.pad(x, ((0, 0), (pad, pad)), mode="edge")
-    x = jax.lax.conv_general_dilated(
-        x[None, None, :, :],
-        jnp.asarray(kh, img.dtype)[None, None, None, :],
-        window_strides=(1, 1),
-        padding="VALID",
-    )[0, 0]
-    return x
+    acc = None
+    for k, c in enumerate(kv):
+        if c == 0.0:
+            continue
+        term = float(c) * x[k : k + h, :]
+        acc = term if acc is None else acc + term
+    x = jnp.pad(acc, ((0, 0), (pad, pad)), mode="edge")
+    acc = None
+    for k, c in enumerate(kh):
+        if c == 0.0:
+            continue
+        term = float(c) * x[:, k : k + w]
+        acc = term if acc is None else acc + term
+    return acc
 
 
 def sobel5(img: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:

@@ -125,3 +125,23 @@ def sample_points(img: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarr
     )
     rows = jax.lax.dot(av, img, precision=_HI)  # (N, W)
     return jnp.sum(rows * au, axis=-1)
+
+
+def sample_gradient_in_windows(windows, au, av, u, v):
+    """Central-difference image gradient at one subpixel point per window.
+
+    ``windows`` (N, W, W) with integer image-coord anchors (au, av); (u, v)
+    image coords.  Returns (gx, gy) each (N,).  Replaces full-image Sobel
+    ``sample_points`` on the hot paths (a converged match always sits ≥4 px
+    inside its window, so the ±1 px stencil stays in-window); only the
+    gradient *direction* is consumed downstream, for which the central
+    difference of the pyramid level matches the Sobel direction.
+    """
+    ru = u - au.astype(jnp.float32)
+    rv = v - av.astype(jnp.float32)
+    pu = jnp.stack([ru + 1.0, ru - 1.0, ru, ru], axis=-1)
+    pv = jnp.stack([rv, rv, rv + 1.0, rv - 1.0], axis=-1)
+    vals = bilinear_scatter_in_windows(windows, pu, pv)
+    gx = 0.5 * (vals[:, 0] - vals[:, 1])
+    gy = 0.5 * (vals[:, 2] - vals[:, 3])
+    return gx, gy

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from hso_tpu.math import se3
 from hso_tpu.ops.align import align1d, align2d, ncc
-from hso_tpu.ops.gatherless import sample_points
+from hso_tpu.ops.gatherless import sample_gradient_in_windows
 from hso_tpu.ops.warp import best_search_level, warp_from_stored_windows, warp_matrices
 
 EDGELET = 1
@@ -92,14 +92,12 @@ def match_points(
     score = ncc(ref_patch, patch)
     disp_ok = jnp.linalg.norm(px_l - px_init, axis=-1) < 20.0
 
-    gx_c = jnp.zeros((n,), jnp.float32)
-    gy_c = jnp.zeros((n,), jnp.float32)
-    for lvl in range(n_levels):
-        sel = search_level == lvl
-        gx_l = sample_points(cur_sobel_x[lvl], px_l[:, 0], px_l[:, 1])
-        gy_l = sample_points(cur_sobel_y[lvl], px_l[:, 0], px_l[:, 1])
-        gx_c = jnp.where(sel, gx_l, gx_c)
-        gy_c = jnp.where(sel, gy_l, gy_c)
+    # gradient direction from the packed windows (see
+    # gatherless.sample_gradient_in_windows — full-image Sobel sampling is
+    # the expensive path on TPU)
+    gx_c, gy_c = sample_gradient_in_windows(
+        windows, anchors[0], anchors[1], px_l[:, 0], px_l[:, 1]
+    )
     gn = jnp.stack([gx_c, gy_c], -1)
     gn = gn / jnp.maximum(jnp.linalg.norm(gn, axis=-1, keepdims=True), 1e-9)
     normal_ok = jnp.where(
