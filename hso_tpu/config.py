@@ -63,6 +63,8 @@ class Config:
 
     # ---- photometric ----
     exposure_light_thresh: float = 30.0  #: LIGHT_THRESHOLD in matcher.cpp:40
+    photometric_calib: bool = False      #: online response/vignette calibration
+                                         #: (TUM MonoVO-class auto-exposure input)
 
     def __post_init__(self) -> None:
         assert self.n_fts_max >= self.max_fts

@@ -105,6 +105,14 @@ class FrameHandler:
         # retained recent frames for pre-frame seed backfill (the reference
         # keeps a frame_prior_ deque in DepthFilter, depth_filter.cpp:338-351)
         self.pre_frames: collections.deque = collections.deque(maxlen=3)
+        # optional online photometric calibration (response/vignette; the
+        # reference's PhotomatricCalibration is compiled out — see
+        # hso_tpu/photometric/online_calib.py)
+        self.photo = None
+        if self.cfg.photometric_calib:
+            from hso_tpu.photometric import OnlinePhotometricCalibrator
+
+            self.photo = OnlinePhotometricCalibrator(cam)
 
     # ------------------------------------------------------------------ utils
     def _make_frame(self, img_u8: np.ndarray, ts: float) -> Frame:
@@ -139,7 +147,10 @@ class FrameHandler:
 
     # ------------------------------------------------------------------ stages
     def add_image(self, img_u8: np.ndarray, ts: float = 0.0) -> FrameResult:
-        frame = self._make_frame(img_u8, ts)
+        img_in = img_u8
+        if self.photo is not None:
+            img_in = self.photo.correct(img_u8)  # linearize (identity until calibrated)
+        frame = self._make_frame(img_in, ts)
         if self.stage == STAGE_FIRST:
             res = self._process_first(frame)
         elif self.stage == STAGE_SECOND:
@@ -151,6 +162,10 @@ class FrameHandler:
         self.last_frame = frame
         self.frame_count += 1
         self.trajectory.append((ts, frame.T_f_w.copy()))
+        if self.photo is not None and frame.obs is not None:
+            # calibration samples come from the RAW image so the estimate
+            # does not compound with the applied correction
+            self.photo.add_frame_samples(np.asarray(img_u8), frame.obs)
         return res
 
     def _process_first(self, frame: Frame) -> FrameResult:

@@ -3,7 +3,10 @@
 TUM-format keyframe trajectory output for evo evaluation.
 
     python scripts/run_dataset.py image=<dir> calib=<file> [times=<file>]
-        [start=<n>] [end=<n>] [name=<result name>] [cpu=1]
+        [start=<n>] [end=<n>] [name=<result name>] [cpu=1] [photo=1]
+
+``photo=1`` enables online photometric calibration (response + vignette +
+exposure; for TUM MonoVO-class auto-exposure sequences).
 """
 
 import os
@@ -55,7 +58,10 @@ def main() -> None:
     else:
         cam_pipeline = cam
 
-    vo = FrameHandler(cam_pipeline)
+    from hso_tpu.config import Config
+
+    cfg = Config(photometric_calib=bool(int(args.get("photo", "0"))))
+    vo = FrameHandler(cam_pipeline, cfg)
     t0 = time.time()
     n_fail = 0
     if native is not None:
