@@ -23,6 +23,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from hso_tpu.math.linalg_small import inv2x2, inv3x3
 from hso_tpu.ops.gatherless import bilinear_grid, clip_anchor, extract_windows
 
 PATCH = 8
@@ -86,7 +87,7 @@ def align2d(cur_img, ref_border, px_init, n_iter: int = 10, valid=None,
     j = jnp.stack([dx, dy, jnp.ones_like(dx)], axis=-1)          # (N,8,8,3)
     H = jnp.einsum("nyxi,nyxj,nyx->nij", j, j, wgt)
     H = H * (jnp.eye(3) * 1e-3 + 1.0)
-    Hinv = jnp.linalg.inv(H)
+    Hinv = inv3x3(H)
 
     u0 = px_init[:, 0]
     v0 = px_init[:, 1]
@@ -147,7 +148,7 @@ def align1d(cur_img, direction, ref_border, px_init, n_iter: int = 10, valid=Non
     j = jnp.stack([jd, jnp.ones_like(jd)], axis=-1)
     H = jnp.einsum("nyxi,nyxj,nyx->nij", j, j, wgt)
     H = H * (jnp.eye(2) * 1e-3 + 1.0)
-    Hinv = jnp.linalg.inv(H)
+    Hinv = inv2x2(H)
     h_inv = 1.0 / H[:, 0, 0] * PATCH * PATCH
 
     u0 = px_init[:, 0]

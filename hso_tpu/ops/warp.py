@@ -19,6 +19,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from hso_tpu.math.linalg_small import det2x2, inv2x2
 from hso_tpu.ops.gatherless import (
     bilinear_scatter_in_windows,
     clip_anchor,
@@ -59,7 +60,7 @@ def warp_matrices(cam_ref, cam_cur, px_ref, f_ref, depth_ref, T_cur_ref, level_r
 def best_search_level(A_cur_ref: jnp.ndarray, max_level: int) -> jnp.ndarray:
     """Per-candidate search pyramid level (matcher.cpp:74-85): quarter the
     warp determinant until ≤ 3."""
-    D = jnp.abs(jnp.linalg.det(A_cur_ref))
+    D = jnp.abs(det2x2(A_cur_ref))
     level = jnp.zeros(D.shape, jnp.int32)
     for k in range(max_level):
         level = level + (D * (0.25**k) > 3.0).astype(jnp.int32)
@@ -103,7 +104,7 @@ def warp_patches_border(
     px_lvl_u = px_ref[:, 0] * scale_ref
     px_lvl_v = px_ref[:, 1] * scale_ref
 
-    A_ref_cur = jnp.linalg.inv(A_cur_ref)
+    A_ref_cur = inv2x2(A_cur_ref)
     A_ref_cur = jnp.where(jnp.isfinite(A_ref_cur), A_ref_cur, 0.0)
 
     au, av = clip_anchor(px_lvl_u, px_lvl_v, WARP_WIN, 0, h, w)

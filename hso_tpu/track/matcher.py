@@ -54,7 +54,9 @@ def match_points(
         cand["host_level"],
     )
     search_level = jnp.clip(best_search_level(A_cur_ref, n_levels - 1), 0, n_levels - 1)
-    A_ref_cur = jnp.linalg.inv(A_cur_ref)
+    from hso_tpu.math.linalg_small import inv2x2
+
+    A_ref_cur = inv2x2(A_cur_ref)
     A_ref_cur = jnp.where(jnp.isfinite(A_ref_cur), A_ref_cur, 0.0)
 
     ref_border = warp_from_stored_windows(
