@@ -407,31 +407,19 @@ class FrameHandler:
         )
 
     # ------------------------------------------------------------------ blocks
-    def _reproject(self, frame: Frame) -> int:
-        cell, gh, gw = self._grid
-        pos_w = self.points.positions(self.kfs.poses).astype(np.float32)
-        priority = self.points.type.astype(np.int32)
-        sel = select_candidates(
-            jnp.asarray(pos_w), jnp.asarray(self.points.valid),
-            jnp.asarray(priority), jnp.asarray(frame.T_f_w, jnp.float32),
-            self.cam, cell=cell, grid_h=gh, grid_w=gw,
-        )
-        cell_valid = np.asarray(sel["cell_valid"])
-        cand_idx = np.asarray(sel["cell_point"])[cell_valid]
-        px_init = np.asarray(sel["cell_px"])[cell_valid]
-        n_c = len(cand_idx)
-        if n_c == 0:
-            return 0
-        # pad to the static capacity
+    def _match_point_batch(self, frame: Frame, cand_idx: np.ndarray,
+                           pos_w: np.ndarray) -> dict:
+        """Batched direct matching of up to n_fts_max point candidates.
+
+        Warps from each point's memoized patch SOURCE view (latest keyframe
+        obs — the getCloseViewObs analogue), anchored by inverse distance in
+        that view; host_* stays the BA anchor.  Returns numpy result arrays
+        aligned with ``cand_idx``."""
+        pts = self.points
         n_max = self.cfg.n_fts_max
         cand_idx = cand_idx[:n_max]
-        px_init = px_init[:n_max]
         pad = n_max - len(cand_idx)
         cidx = np.pad(cand_idx, (0, pad))
-        pts = self.points
-        # warp from the memoized patch SOURCE view (latest keyframe obs —
-        # the getCloseViewObs analogue), anchored by inverse distance in
-        # that view; host_* stays the BA anchor.
         pkf = pts.patch_kf[cidx]
         T_p = self.kfs.poses[pkf]
         p_in_patch = se3np.apply(T_p, pos_w[cidx].astype(np.float64))
@@ -456,43 +444,79 @@ class FrameHandler:
             cand, d["pyr"], d["sobel_x"], d["sobel_y"],
             jnp.asarray(frame.T_f_w, jnp.float32), frame.exposure, self.cam,
         )
-        success = np.asarray(mout["success"])
-        px = np.asarray(mout["px"])
-        lvl = np.asarray(mout["level"])
-        f_cur = np.asarray(mout["f_cur"])
-
-        # bookkeeping on points
         live = np.arange(n_max) < len(cand_idx)
-        good_ids = cidx[success & live]
-        fail_ids = cidx[~success & live]
-        pts.n_succ[good_ids] += 1
-        pts.n_fail[fail_ids] += 1
-        # deletions per reprojector.cpp:373-387 rules
-        kill = fail_ids[
-            (pts.type[fail_ids] == TYPE_TEMPORARY) & (pts.n_fail[fail_ids] > 3)
-        ]
-        self.points.release(kill)
-        kill2 = fail_ids[
-            (pts.type[fail_ids] == TYPE_UNKNOWN) & (pts.n_fail[fail_ids] > 15)
-        ]
-        self.points.release(kill2)
-        promote = good_ids[
-            (pts.type[good_ids] == TYPE_UNKNOWN) & (pts.n_succ[good_ids] > 10)
-        ]
-        pts.type[promote] = TYPE_GOOD
+        return {
+            "cidx": cidx, "live": live,
+            "success": np.asarray(mout["success"]) & live,
+            "px": np.asarray(mout["px"]),
+            "level": np.asarray(mout["level"]),
+            "f_cur": np.asarray(mout["f_cur"]),
+            "grad_cur": np.asarray(mout["grad_cur"]),
+        }
 
-        # fill the frame's observation table
+    def _reproject(self, frame: Frame) -> int:
+        cell, gh, gw = self._grid
+        pos_w = self.points.positions(self.kfs.poses).astype(np.float32)
+        priority = self.points.type.astype(np.int32)
+        sel = select_candidates(
+            jnp.asarray(pos_w), jnp.asarray(self.points.valid),
+            jnp.asarray(priority), jnp.asarray(frame.T_f_w, jnp.float32),
+            self.cam, cell=cell, grid_h=gh, grid_w=gw,
+        )
+        cell_valid = np.asarray(sel["cell_valid"])
+        cand_idx = np.asarray(sel["cell_point"])[cell_valid]
+        if len(cand_idx) == 0:
+            return 0
+        batches = [self._match_point_batch(frame, cand_idx, pos_w)]
+
+        # pass 2 (budget scheduling, reprojector.cpp:257-330): cells whose
+        # best candidate failed retry with their runner-up
+        first_fail = ~batches[0]["success"][: len(cand_idx)]
+        fail_cells = np.where(cell_valid)[0][first_fail[: len(cand_idx)]]
+        cv2 = np.asarray(sel["cell_valid2"])
+        retry_cells = fail_cells[cv2[fail_cells]]
+        budget_left = self.cfg.max_fts - int(batches[0]["success"].sum())
+        if len(retry_cells) and budget_left > 0:
+            cand2 = np.asarray(sel["cell_point2"])[retry_cells][:budget_left]
+            batches.append(self._match_point_batch(frame, cand2, pos_w))
+
+        pts = self.points
         o = frame.obs
-        w = np.where(success & live)[0]
-        n_m = len(w)
-        o["valid"][:n_m] = True
-        o["px"][:n_m] = px[w]
-        o["f"][:n_m] = f_cur[w]
-        o["level"][:n_m] = lvl[w]
-        o["species"][:n_m] = pts.species[cidx[w]]
-        o["grad"][:n_m] = np.asarray(mout["grad_cur"])[w]
-        o["point_id"][:n_m] = cidx[w]
-        return n_m
+        n_filled = 0
+        for b in batches:
+            success, live, cidx = b["success"], b["live"], b["cidx"]
+            good_ids = cidx[success]
+            fail_ids = cidx[~success & live]
+            pts.n_succ[good_ids] += 1
+            pts.n_fail[fail_ids] += 1
+            # deletions per reprojector.cpp:373-387 rules
+            kill = fail_ids[
+                (pts.type[fail_ids] == TYPE_TEMPORARY) & (pts.n_fail[fail_ids] > 3)
+            ]
+            self.points.release(kill)
+            kill2 = fail_ids[
+                (pts.type[fail_ids] == TYPE_UNKNOWN) & (pts.n_fail[fail_ids] > 15)
+            ]
+            self.points.release(kill2)
+            promote = good_ids[
+                (pts.type[good_ids] == TYPE_UNKNOWN) & (pts.n_succ[good_ids] > 10)
+            ]
+            pts.type[promote] = TYPE_GOOD
+
+            w = np.where(success)[0]
+            n_m = len(w)
+            if n_m == 0:
+                continue
+            rows = slice(n_filled, n_filled + n_m)
+            o["valid"][rows] = True
+            o["px"][rows] = b["px"][w]
+            o["f"][rows] = b["f_cur"][w]
+            o["level"][rows] = b["level"][w]
+            o["species"][rows] = pts.species[cidx[w]]
+            o["grad"][rows] = b["grad_cur"][w]
+            o["point_id"][rows] = cidx[w]
+            n_filled += n_m
+        return n_filled
 
     def _reproject_seeds(self, frame: Frame, n_have: int) -> int:
         """Match unconverged seeds into the frame; successful matches spawn

@@ -155,9 +155,19 @@ def select_candidates(
     cell_valid = best >= 0
     cell_point = jnp.where(cell_valid, best % p, 0)
     cell_px = px[cell_point]
+    # runner-up per cell — the reprojector's later budget passes retry a
+    # cell with its next-best candidate when the first fails to match
+    # (reprojector.cpp:257-330 3-pass scheduling)
+    key2 = jnp.where(key == best[cidx], -1, key)
+    best2 = jnp.full((n_cells,), -1, jnp.int32).at[cidx].max(key2)
+    cell_valid2 = best2 >= 0
+    cell_point2 = jnp.where(cell_valid2, best2 % p, 0)
     return {
         "cell_point": cell_point,
         "cell_valid": cell_valid,
         "cell_px": cell_px,
+        "cell_point2": cell_point2,
+        "cell_valid2": cell_valid2,
+        "cell_px2": px[cell_point2],
         "n_projected": jnp.sum(ok.astype(jnp.int32)),
     }

@@ -55,7 +55,9 @@ def save_checkpoint(handler, path: str) -> None:
         )
     for k, v in handler.seeds.items():
         blobs[f"seed_{k}"] = np.asarray(v)
-    np.savez_compressed(path, **blobs)
+    # uncompressed: the bulk is float32 image windows (high-entropy), where
+    # deflate costs minutes for a few percent — store raw
+    np.savez(path, **blobs)
 
 
 def load_checkpoint(handler, path: str) -> None:
