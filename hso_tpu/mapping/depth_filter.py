@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from hso_tpu.math import se3
-from hso_tpu.ops.align import align1d, align2d, ncc
+from hso_tpu.ops.align import align1d, align_mixed, ncc
 from hso_tpu.ops.epipolar import epipolar_zmncc_search, triangulate_depth
 from hso_tpu.ops.gatherless import bilinear_scatter_in_windows, clip_anchor, extract_windows
 from hso_tpu.ops.warp import best_search_level, warp_matrices
@@ -257,7 +257,8 @@ def update_seeds(
     )
     good = active & sr["ok"] & (sr["score_best"] > 0.8)
 
-    # KLT refinement along the epipolar direction, fallback per species
+    # KLT refinement along the epipolar direction, then a fused final pass
+    # (2D for corners, along-normal 1D for edgelets — one LM loop)
     r1 = align1d(
         None, sr["epl_dir"], ref_border, sr["px_best"],
         valid=good, windows=windows, anchors=anchors, img_hw=img_hw,
@@ -265,17 +266,13 @@ def update_seeds(
     )
     is_corner = seeds["species"] == 0
     px_r1 = jnp.where(r1["converged"][:, None], r1["px"], sr["px_best"])
-    r2 = align2d(
-        None, ref_border, px_r1,
-        valid=good & is_corner, windows=windows, anchors=anchors, img_hw=img_hw,
+    rm = align_mixed(
+        ~is_corner, grad_cur, ref_border, px_r1,
+        valid=good, windows=windows, anchors=anchors, img_hw=img_hw,
     )
-    rg = align1d(
-        None, grad_cur, ref_border, px_r1,
-        valid=good & ~is_corner, windows=windows, anchors=anchors, img_hw=img_hw,
-    )
-    px_ref_l = jnp.where(is_corner[:, None], r2["px"], rg["px"])
-    refined_ok = jnp.where(is_corner, r2["converged"], rg["converged"])
-    patch_fin = jnp.where(is_corner[:, None, None], r2["cur_patch"], rg["cur_patch"])
+    px_ref_l = rm["px"]
+    refined_ok = rm["converged"]
+    patch_fin = rm["cur_patch"]
     score = ncc(ref_patch, patch_fin)
     meas_ok = good & refined_ok & (score > 0.8)
 

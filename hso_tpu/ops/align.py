@@ -195,6 +195,84 @@ def align1d(cur_img, direction, ref_border, px_init, n_iter: int = 10, valid=Non
     }
 
 
+def align_mixed(is_edge, direction, ref_border, px_init, n_iter: int = 10,
+                valid=None, windows=None, anchors=None, img_hw=None):
+    """Fused corner/edgelet alignment: ONE LM loop where corner rows take the
+    3-DoF [u, v, mean] update and edgelet rows the 2-DoF [step-along-normal,
+    mean] update.  The per-iteration patch sampling — the expensive part —
+    is shared, so this costs one ``align2d`` instead of an ``align2d`` plus
+    an ``align1d`` over the same candidate set (semantics per row identical
+    to the split kernels)."""
+    n = ref_border.shape[0]
+    h, w = img_hw
+    if valid is None:
+        valid = jnp.ones((n,), bool)
+    ref, dx, dy = _template_grads(ref_border)
+
+    # corner system (3-DoF)
+    wgt2 = jnp.sqrt(250.0 / (250.0 + dx * dx + dy * dy))
+    j3 = jnp.stack([dx, dy, jnp.ones_like(dx)], axis=-1)
+    H3 = jnp.einsum("nyxi,nyxj,nyx->nij", j3, j3, wgt2)
+    H3 = H3 * (jnp.eye(3) * 1e-3 + 1.0)
+    Hinv3 = inv3x3(H3)
+
+    # edgelet system (2-DoF along the normal)
+    d = direction / jnp.maximum(jnp.linalg.norm(direction, axis=-1, keepdims=True), 1e-9)
+    jd = dx * d[:, None, None, 0] + dy * d[:, None, None, 1]
+    wgt1 = jnp.sqrt(250.0 / (250.0 + jd * jd))
+    j2 = jnp.stack([jd, jnp.ones_like(jd)], axis=-1)
+    H2 = jnp.einsum("nyxi,nyxj,nyx->nij", j2, j2, wgt1)
+    H2 = H2 * (jnp.eye(2) * 1e-3 + 1.0)
+    Hinv2 = inv2x2(H2)
+
+    au, av = anchors
+    win_n = windows.shape[1]
+    wgt = jnp.where(is_edge[:, None, None], wgt1, wgt2)
+
+    def body(_, carry):
+        u, v, mean_diff, chi2, active, conv = carry
+        patch, rel_u, rel_v = _sample(windows, au, av, u, v)
+        inb = _in_image(u, v, h, w) & _in_window(rel_u, win_n) & _in_window(rel_v, win_n)
+        active = active & inb & jnp.isfinite(u) & jnp.isfinite(v)
+
+        res = patch - ref + mean_diff[:, None, None]
+        new_chi2 = jnp.einsum("nyx,nyx,nyx->n", res, res, wgt)
+        jres3 = -jnp.einsum("nyx,nyxi,nyx->ni", res, j3, wgt2)
+        jres2 = -jnp.einsum("nyx,nyxi,nyx->ni", res, j2, wgt1)
+        upd3 = jnp.einsum("nij,nj->ni", Hinv3, jres3)
+        upd2 = jnp.einsum("nij,nj->ni", Hinv2, jres2)
+
+        du = jnp.where(is_edge, upd2[:, 0] * d[:, 0], upd3[:, 0])
+        dv = jnp.where(is_edge, upd2[:, 0] * d[:, 1], upd3[:, 1])
+        dm = jnp.where(is_edge, upd2[:, 1], upd3[:, 2])
+        u = jnp.where(active, u + du, u)
+        v = jnp.where(active, v + dv, v)
+        mean_diff = jnp.where(active, mean_diff + dm, mean_diff)
+        chi2 = jnp.where(active, new_chi2, chi2)
+        small = jnp.where(
+            is_edge, upd2[:, 0] ** 2 < 0.01 * 0.01,
+            upd3[:, 0] ** 2 + upd3[:, 1] ** 2 < 0.03 * 0.03,
+        )
+        conv = conv | (active & small)
+        active = active & ~small
+        return u, v, mean_diff, chi2, active, conv
+
+    init = (
+        px_init[:, 0], px_init[:, 1], jnp.zeros((n,)), jnp.zeros((n,)),
+        valid, jnp.zeros((n,), bool),
+    )
+    u, v, mean_diff, chi2, _, conv = jax.lax.fori_loop(0, n_iter, body, init)
+    conv = conv & (chi2 <= 1000.0 * PATCH * PATCH) & valid
+    final_patch, _, _ = _sample(windows, au, av, u, v)
+    return {
+        "px": jnp.stack([u, v], axis=-1),
+        "converged": conv,
+        "chi2": chi2,
+        "cur_patch": final_patch,
+        "mean_diff": mean_diff,
+    }
+
+
 def ncc(patch_a: jnp.ndarray, patch_b: jnp.ndarray) -> jnp.ndarray:
     """Batched zero-mean NCC between (N, P, P) patches (matcher.cpp:379-404)."""
     a = patch_a.reshape(patch_a.shape[0], -1)

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from hso_tpu.math import se3
-from hso_tpu.ops.align import align1d, align2d, ncc
+from hso_tpu.ops.align import align_mixed, ncc
 from hso_tpu.ops.gatherless import sample_gradient_in_windows
 from hso_tpu.ops.warp import best_search_level, warp_from_stored_windows, warp_matrices
 
@@ -83,13 +83,11 @@ def match_points(
     windows, anchors, img_hw = pack_level_windows(
         cur_pyr, search_level, px_init[:, 0], px_init[:, 1], 24, n_levels
     )
-    r2 = align2d(None, ref_border, px_init, valid=valid0 & ~is_edge,
-                 windows=windows, anchors=anchors, img_hw=img_hw)
-    r1 = align1d(None, grad_cur, ref_border, px_init, valid=valid0 & is_edge,
-                 windows=windows, anchors=anchors, img_hw=img_hw)
-    px_l = jnp.where(is_edge[:, None], r1["px"], r2["px"])
-    conv = jnp.where(is_edge, r1["converged"], r2["converged"])
-    patch = jnp.where(is_edge[:, None, None], r1["cur_patch"], r2["cur_patch"])
+    rm = align_mixed(is_edge, grad_cur, ref_border, px_init, valid=valid0,
+                     windows=windows, anchors=anchors, img_hw=img_hw)
+    px_l = rm["px"]
+    conv = rm["converged"]
+    patch = rm["cur_patch"]
 
     score = ncc(ref_patch, patch)
     disp_ok = jnp.linalg.norm(px_l - px_init, axis=-1) < 20.0
