@@ -242,7 +242,9 @@ def _apply(T_kf, idist, delta_c, delta_p, point_valid, n_kf: int):
     return T_new, idist_new
 
 
-@functools.partial(jax.jit, static_argnames=("n_kf", "n_pts", "n_iter", "focal"))
+@functools.partial(
+    jax.jit, static_argnames=("n_kf", "n_pts", "n_iter", "focal", "strip_px")
+)
 def local_bundle_adjustment(
     T_kf,              # (K,3,4)
     free_kf,           # (K,) bool — False = held fixed
@@ -253,6 +255,8 @@ def local_bundle_adjustment(
     n_pts: int,
     n_iter: int = 10,
     focal: float = 450.0,
+    strip_px: float = 2.0,   # corner strip threshold (Config::lobaThresh);
+                             # edgelets strip at 0.6× (ref 2.0/1.2 px)
 ):
     """Run windowed BA; returns dict(T_kf, idist, obs_inlier, chi2_init,
     chi2_final, deltas)."""
@@ -304,7 +308,9 @@ def local_bundle_adjustment(
     rn_f = jnp.where(
         obs["is_edgelet"], jnp.abs(r_f[:, 0]), jnp.linalg.norm(r_f, axis=-1)
     ) * sqrt_info
-    thresh = jnp.where(obs["is_edgelet"], 1.2 / focal, 2.0 / focal)
+    thresh = jnp.where(
+        obs["is_edgelet"], 0.6 * strip_px / focal, strip_px / focal
+    )
     obs_inlier = obs["valid"] & (rn_f <= thresh)
 
     return {

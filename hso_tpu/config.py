@@ -28,18 +28,13 @@ class Config:
     reproj_thresh: float = 2.0
     poseoptim_thresh: float = 2.0
     poseoptim_num_iter: int = 10
-    loba_thresh: float = 2.0
-    loba_robust_huber_width: float = 1.0
+    loba_thresh: float = 2.0        #: BA corner outlier-strip threshold [px]
     loba_num_iter: int = 10
-    kfselect_mindist: float = 0.12
-    triang_min_corner_score: float = 20.0
-    subpix_n_iter: int = 10
-    max_n_kfs: int = 2000           #: 0 means unlimited keyframes kept
+    max_n_kfs: int = 2000           #: keyframe registry capacity
     max_fts: int = 200              #: feature budget per frame
     quality_min_fts: int = 5
     quality_max_drop_fts: int = 40
     edgelet_angle: float = 0.86     #: cos(angle) gate for edgelet normal agreement
-    n_max_drop_keyframe: int = 13
 
     # ---- coarse tracker (reference: frame_handler_mono.cpp:190-209) ----
     coarse_n_iter: int = 30         #: LM iterations per level (ref uses <=50 w/ early stop)

@@ -70,6 +70,18 @@ class PointTable:
         self.patch_win = np.zeros((p_max, HOST_WIN, HOST_WIN), np.float32)
         self.patch_anchor = np.zeros((p_max, 2), np.int32)
         self._free = list(range(p_max - 1, -1, -1))
+        # Inverted observation index: per point, the (kf_index, obs_slot)
+        # pairs of keyframes observing it.  This is the incremental analogue
+        # of Point::obs_ (point.h:48-187) that lets covisibility counting and
+        # BA observation assembly touch only the live window's points instead
+        # of scanning every keyframe ever (frame_handler_mono.cpp:559-647
+        # maintains its covisibility graph incrementally for the same reason).
+        # Entries can go stale when BA strips an observation; readers verify
+        # against the forward obs table and drop stale pairs lazily.
+        self.obs_refs: list[list[tuple[int, int]]] = [[] for _ in range(p_max)]
+        # last keyframe index at which the point was registered/observed —
+        # drives the garbage collector for points that left the field of view
+        self.last_obs_kf = np.full(p_max, -1, np.int32)
 
     PATCH_FIELDS = (
         ("patch_kf", "host_kf"), ("patch_px", "host_px"),
@@ -93,7 +105,51 @@ class PointTable:
             if self.valid[i]:
                 self.valid[i] = False
                 self.type[i] = TYPE_DELETED
+                self.obs_refs[int(i)] = []
+                self.last_obs_kf[i] = -1
                 self._free.append(int(i))
+
+    def register_obs(self, frame) -> None:
+        """Record a keyframe's observations in the inverted index (called
+        once per keyframe, when its obs table is final)."""
+        o = frame.obs
+        kf = frame.kf_index
+        for i in np.nonzero(o["valid"] & (o["point_id"] >= 0))[0]:
+            p = int(o["point_id"][i])
+            self.obs_refs[p].append((kf, int(i)))
+            self.last_obs_kf[p] = max(self.last_obs_kf[p], kf)
+
+    def live_obs(self, p: int, frames: list) -> list[tuple[int, int]]:
+        """Verified (kf_index, slot) observations of point ``p``; prunes
+        entries whose forward-table slot was stripped or reused."""
+        fresh = []
+        for kf, i in self.obs_refs[p]:
+            ko = frames[kf].obs
+            if ko is not None and ko["valid"][i] and ko["point_id"][i] == p:
+                fresh.append((kf, i))
+        self.obs_refs[p] = fresh
+        return fresh
+
+    def gc_stale(self, latest_kf: int, grace_kfs: int = 12,
+                 pressure: float = 0.75) -> int:
+        """Release points not observed in any of the last ``grace_kfs``
+        keyframes.  GOOD points (proven landmarks) are kept for map-based
+        relocalization until slot pressure demands reclaiming them too —
+        the reference map grows without bound (map.cpp keeps every Point
+        until reprojection failure deletes it); a fixed-capacity table
+        needs eviction to survive EuRoC-length sequences."""
+        stale = self.valid & (self.last_obs_kf < latest_kf - grace_kfs)
+        victims = np.nonzero(stale & (self.type != TYPE_GOOD))[0]
+        n = len(victims)
+        self.release(victims)
+        if self.valid.sum() > pressure * self.p_max:
+            good = np.nonzero(stale & (self.type == TYPE_GOOD))[0]
+            # oldest last-observation first
+            good = good[np.argsort(self.last_obs_kf[good])]
+            n_evict = int(self.valid.sum() - pressure * self.p_max)
+            self.release(good[:n_evict])
+            n += min(n_evict, len(good))
+        return n
 
     def positions(self, kf_poses: np.ndarray) -> np.ndarray:
         """World positions from host anchoring: T_host_w⁻¹ · (f/idist)."""

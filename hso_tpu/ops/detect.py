@@ -270,9 +270,31 @@ def detect_features(
 
     best_score = jnp.where(occupied, 0.0, best_score)
 
+    # Spatial-uniformity tiers (the quadtree-distribution analogue,
+    # computeKeyPointsOctTree feature_detection.cpp:833-1124): a cell that
+    # wins its 2×2-cell block outranks every runner-up, and a 4×4-block
+    # winner outranks 2×2 winners — the budget spreads across the image
+    # before it deepens into the sharpest-textured region.  Without this a
+    # plain top-k clusters all n_out features wherever per-pixel contrast is
+    # highest (e.g. the far wall of a corridor), starving near structure.
+    def _block_winner(score, b):
+        cyl, cxl = score.shape
+        by, bx = -(-cyl // b), -(-cxl // b)
+        pad = jnp.pad(score, ((0, by * b - cyl), (0, bx * b - cxl)))
+        bmax = pad.reshape(by, b, bx, b).max(axis=(1, 3))
+        up = jnp.repeat(jnp.repeat(bmax, b, 0), b, 1)[:cyl, :cxl]
+        return (score >= up) & (score > 0.0)
+
+    sel_score = (
+        best_score
+        + jnp.where(_block_winner(best_score, 2), 1e8, 0.0)
+        + jnp.where(_block_winner(best_score, 4), 2e8, 0.0)
+    )
+
     flat_score = best_score.reshape(-1)
     k = min(n_out, flat_score.shape[0])
-    top_scores, top_idx = jax.lax.top_k(flat_score, k)
+    _, top_idx = jax.lax.top_k(sel_score.reshape(-1), k)
+    top_scores = flat_score[top_idx]
     metas = [m.reshape(-1)[top_idx] for m in best_meta]
     x0, y0, level, species, gx, gy = metas
     valid = top_scores > 0.0

@@ -26,24 +26,28 @@ from hso_tpu.math import se3np
 
 
 def covisible_keyframes(handler, center) -> list[int]:
-    """Counts of shared map points between center and earlier keyframes."""
+    """Keyframes sharing map points with the centre, counted through the
+    inverted point→observers index — O(center obs × observers/point), never
+    a scan over all keyframes (the reference maintains its covisibility
+    graph incrementally for the same reason, frame_handler_mono.cpp:559-647).
+    """
     o = center.obs
-    seen = set(o["point_id"][o["valid"] & (o["point_id"] >= 0)].tolist())
+    seen = o["point_id"][o["valid"] & (o["point_id"] >= 0)].tolist()
     if not seen:
         return []
-    counts = []
-    for kf in handler.kfs.frames[:-1]:
-        ko = kf.obs
-        pids = ko["point_id"][ko["valid"] & (ko["point_id"] >= 0)]
-        c = sum(1 for p in pids.tolist() if p in seen)
-        counts.append((c, kf.kf_index))
-    n_inliers = len(seen)
-    th = 5 if n_inliers > 30 else 3
-    counts.sort(key=lambda t: (-t[0], t[1]))
-    core = [k for c, k in counts if c >= th][: handler.cfg.core_n_kfs]
+    pts = handler.points
+    frames = handler.kfs.frames
+    counter: dict[int, int] = {}
+    for p in set(seen):
+        for kf, _ in pts.live_obs(p, frames):
+            if kf != center.kf_index:
+                counter[kf] = counter.get(kf, 0) + 1
+    counts = sorted(counter.items(), key=lambda t: (-t[1], t[0]))
+    th = 5 if len(set(seen)) > 30 else 3
+    core = [k for k, c in counts if c >= th][: handler.cfg.core_n_kfs]
     if not core and counts:
-        core = [counts[0][1]]
-    last_kf = handler.kfs.frames[-2].kf_index if len(handler.kfs.frames) > 1 else None
+        core = [counts[0][0]]
+    last_kf = frames[-2].kf_index if len(frames) > 1 else None
     if last_kf is not None and last_kf not in core:
         core.append(last_kf)
     return core
@@ -92,26 +96,33 @@ def run_local_ba(handler, center) -> dict | None:
     for k in window:
         is_free = not (k == 0 or k + 20 < center_id)
         slot_of(k, is_free)
+    # points whose host keyframe cannot get a slot (window overflow) are
+    # dropped from this BA round — their obs rows would have no host vertex
+    kept = []
     for p in point_set:
-        slot_of(int(pts.host_kf[p]), False)
+        if slot_of(int(pts.host_kf[p]), False) is not None:
+            kept.append(p)
+        else:
+            del point_slot[p]
+    point_set = kept
+    point_slot = {p: i for i, p in enumerate(point_set)}
+    if len(point_set) < 8:
+        return None
 
-    # ---- observation edges: all obs of windowed points, host frame excluded ----
+    # ---- observation edges: all live obs of windowed points (through the
+    # inverted index — never a scan over all keyframes), host frame excluded ----
     obs_rows = []
-    for kf in handler.kfs.frames:
-        ko = kf.obs
-        mask = ko["valid"] & (ko["point_id"] >= 0)
-        idxs = np.where(mask)[0]
-        for i in idxs:
-            p = int(ko["point_id"][i])
-            s = point_slot.get(p)
-            if s is None:
+    frames = handler.kfs.frames
+    for p in point_set:
+        s = point_slot[p]
+        host = int(pts.host_kf[p])
+        for kf_idx, i in pts.live_obs(p, frames):
+            if kf_idx == host:
                 continue
-            if kf.kf_index == int(pts.host_kf[p]):
-                continue
-            t = slot_of(kf.kf_index, False)
+            t = slot_of(kf_idx, False)
             if t is None:
                 continue
-            obs_rows.append((s, t, kf.kf_index, i, p))
+            obs_rows.append((s, t, kf_idx, i, p))
             if len(obs_rows) >= E:
                 break
         if len(obs_rows) >= E:
@@ -177,6 +188,7 @@ def run_local_ba(handler, center) -> dict | None:
         jnp.asarray(T_kf), jnp.asarray(free), jnp.asarray(idist),
         jnp.asarray(pvalid), obs, n_kf=K, n_pts=P, n_iter=n_iter,
         focal=float(handler.cam.focal_mean),
+        strip_px=float(cfg.loba_thresh),
     )
 
     # ---- writeback ----

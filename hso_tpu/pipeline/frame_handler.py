@@ -24,7 +24,10 @@ homography bootstrap model selection, and map-based relocalization.
 from __future__ import annotations
 
 import collections
+import contextlib
 import dataclasses
+import os
+import time
 
 import numpy as np
 import jax.numpy as jnp
@@ -83,7 +86,7 @@ class FrameHandler:
         self.cam = cam
         self.cfg = cfg or Config()
         self.points = PointTable(self.cfg.n_points_ba_max * 2)
-        self.kfs = KeyframeWindow(recent=SEED_RING)
+        self.kfs = KeyframeWindow(k_all_max=self.cfg.max_n_kfs, recent=SEED_RING)
         self.seeds = empty_seeds(self.cfg.n_seeds_max)
         self.seed_ring = np.full(SEED_RING, -1, np.int32)  # ring slot → kf idx
         self.batch_counter = 0
@@ -94,10 +97,19 @@ class FrameHandler:
         self.frame_count = 0
         self.regular_counter = 0
         self.n_last_inliers = 0
+        self.after_init = False
+        self.tracking_bad = False
+        self.reloc_fail_count = 0
         self.mean_converge_frames = 6.0
         self.px_error_angle = float(np.arctan(1.0 / (2.0 * cam.focal_mean)) * 2.0)
         self.trajectory: list[tuple[float, np.ndarray]] = []
-        # static grid dims for the reprojector
+        # static grid dims for the reprojector.  The reference sizes cells by
+        # factor 0.6 (reprojector.cpp:53-56, ≈2.8·maxFts cells) and walks
+        # cells serially until the match budget fills; here every candidate
+        # cell is matched in ONE batched kernel, so the cell count must fit
+        # the n_fts_max slot padding — factor 0.8 gives ≈1.6·maxFts cells
+        # (≤ n_fts_max), trading the reference's deeper per-cell ranking for
+        # a single fixed-shape dispatch (deliberate TPU deviation).
         cell = max(int(np.sqrt(cam.width * cam.height / self.cfg.max_fts) * 0.8), 16)
         self._grid = (cell, -(-cam.height // cell), -(-cam.width // cell))
         self._occ_cell = 32
@@ -113,6 +125,39 @@ class FrameHandler:
             from hso_tpu.photometric import OnlinePhotometricCalibrator
 
             self.photo = OnlinePhotometricCalibrator(cam)
+        # per-stage tracing (the reference's HSO_TRACE PerformanceMonitor,
+        # frame_handler_base.cpp:54-81); enable via enable_tracing() or the
+        # HSO_TRACE env var
+        self.monitor = None
+        if os.environ.get("HSO_TRACE"):
+            self.enable_tracing(trace_dir=os.environ.get("HSO_TRACE_DIR", "/tmp"))
+
+    #: the reference's registered timers + per-frame log values
+    TRACE_TIMERS = (
+        "pyramid_creation", "sparse_img_align", "reproject", "pose_optimizer",
+        "local_ba", "seed_update", "feature_detection", "tot_time",
+    )
+    TRACE_LOGS = (
+        "frame_id", "n_matches", "n_inliers", "n_seeds_updated", "n_kfs",
+        "n_points", "is_keyframe", "err_px",
+    )
+
+    def enable_tracing(self, trace_name: str = "hso_tpu_trace",
+                       trace_dir: str = "/tmp") -> None:
+        from hso_tpu.utils.trace import PerformanceMonitor
+
+        mon = PerformanceMonitor(trace_name, trace_dir)
+        for t in self.TRACE_TIMERS:
+            mon.add_timer(t)
+        for l in self.TRACE_LOGS:
+            mon.add_log(l)
+        mon.init()
+        self.monitor = mon
+
+    def _t(self, name: str):
+        """Stage-timer context (no-op when tracing is off).  Stage outputs are
+        materialised to numpy inside each stage, so wall time is device time."""
+        return self.monitor.timing(name) if self.monitor else contextlib.nullcontext()
 
     # ------------------------------------------------------------------ utils
     def _make_frame(self, img_u8: np.ndarray, ts: float) -> Frame:
@@ -147,10 +192,14 @@ class FrameHandler:
 
     # ------------------------------------------------------------------ stages
     def add_image(self, img_u8: np.ndarray, ts: float = 0.0) -> FrameResult:
+        t_start = time.perf_counter()
+        if self.monitor is not None:
+            self.monitor.new_frame()
         img_in = img_u8
         if self.photo is not None:
             img_in = self.photo.correct(img_u8)  # linearize (identity until calibrated)
-        frame = self._make_frame(img_in, ts)
+        with self._t("pyramid_creation"):
+            frame = self._make_frame(img_in, ts)
         if self.stage == STAGE_FIRST:
             res = self._process_first(frame)
         elif self.stage == STAGE_SECOND:
@@ -166,6 +215,18 @@ class FrameHandler:
             # calibration samples come from the RAW image so the estimate
             # does not compound with the applied correction
             self.photo.add_frame_samples(np.asarray(img_u8), frame.obs)
+        if self.monitor is not None:
+            m = self.monitor
+            m.set_timer("tot_time", time.perf_counter() - t_start)
+            m.log("frame_id", self.frame_count - 1)
+            m.log("n_matches", res.n_matches)
+            m.log("n_inliers", res.n_inliers)
+            m.log("n_seeds_updated", res.n_seeds_updated)
+            m.log("n_kfs", len(self.kfs.frames))
+            m.log("n_points", int(self.points.valid.sum()))
+            m.log("is_keyframe", res.status == RESULT_KEYFRAME)
+            m.log("err_px", res.err_px)
+            m.update_finished()
         return res
 
     def _process_first(self, frame: Frame) -> FrameResult:
@@ -269,6 +330,9 @@ class FrameHandler:
             o["level"][:m] = 0
             o["species"][:m] = 0
             o["point_id"][:m] = idx
+        self.points.last_obs_kf[idx] = kf1
+        for kf_frame in (self.first_frame, frame):
+            self.points.register_obs(kf_frame)
 
         # seed the depth filter from the second keyframe; the first keyframe
         # serves as a pre-frame so new seeds get an immediate wide-baseline
@@ -280,6 +344,7 @@ class FrameHandler:
         self.stage = STAGE_DEFAULT
         self.n_last_inliers = m
         self.regular_counter = 0
+        self.after_init = True
         return FrameResult(RESULT_KEYFRAME, frame.T_f_w, n_matches=m, n_inliers=m)
 
     # ------------------------------------------------------------------ default
@@ -303,22 +368,24 @@ class FrameHandler:
             n_iter=cfg.coarse_n_iter, inverse=inverse,
         )
         a_init = frame.intensity_mean / max(last.intensity_mean, 1e-6)
-        tout = tracker(
-            last.data["pyr"], frame.data["pyr"],
-            jnp.asarray(ref_obs["px"], jnp.float32),
-            jnp.asarray(ref_obs["f"], jnp.float32),
-            jnp.asarray(dist),
-            jnp.asarray(se3np.identity() if last is None else
-                        se3np.mul(frame.T_f_w, se3np.inv(last.T_f_w)), jnp.float32),
-            float(a_init),
-        )
-        T_cur_ref = np.asarray(tout["T_cur_ref"], np.float64)
+        with self._t("sparse_img_align"):
+            tout = tracker(
+                last.data["pyr"], frame.data["pyr"],
+                jnp.asarray(ref_obs["px"], jnp.float32),
+                jnp.asarray(ref_obs["f"], jnp.float32),
+                jnp.asarray(dist),
+                jnp.asarray(se3np.identity() if last is None else
+                            se3np.mul(frame.T_f_w, se3np.inv(last.T_f_w)), jnp.float32),
+                float(a_init),
+            )
+            T_cur_ref = np.asarray(tout["T_cur_ref"], np.float64)
         frame.T_f_w = se3np.normalize(se3np.mul(T_cur_ref, last.T_f_w))
         a = float(tout["exposure_ratio"])
         frame.exposure = last.exposure if 0.99 < a < 1.01 else a * last.exposure
 
         # ---- 2. reprojection + direct matching ----
-        n_matches = self._reproject(frame)
+        with self._t("reproject"):
+            n_matches = self._reproject(frame)
         if n_matches < 100:
             # sparse frame: also match unconverged depth-filter seeds,
             # creating TEMPORARY points (Reprojector::reprojectorSeeds,
@@ -334,34 +401,37 @@ class FrameHandler:
         ov = o["valid"] & (o["point_id"] >= 0)
         pid = np.where(ov, o["point_id"], 0)
         p_world = self.points.positions(self.kfs.poses)[pid].astype(np.float32)
-        pout = optimize_pose(
-            jnp.asarray(frame.T_f_w, jnp.float32),
-            jnp.asarray(p_world),
-            jnp.asarray(o["f"], jnp.float32),
-            jnp.asarray(o["level"]),
-            jnp.asarray(o["grad"], jnp.float32),
-            jnp.asarray(o["species"] == 1),
-            jnp.asarray(self.points.type[pid] == TYPE_TEMPORARY),
-            jnp.asarray(ov),
-            focal=float(self.cam.focal_mean),
-            reproj_thresh=cfg.poseoptim_thresh,
-        )
-        frame.T_f_w = se3np.normalize(np.asarray(pout["T_f_w"], np.float64))
-        inlier = np.asarray(pout["inlier"])
+        with self._t("pose_optimizer"):
+            pout = optimize_pose(
+                jnp.asarray(frame.T_f_w, jnp.float32),
+                jnp.asarray(p_world),
+                jnp.asarray(o["f"], jnp.float32),
+                jnp.asarray(o["level"]),
+                jnp.asarray(o["grad"], jnp.float32),
+                jnp.asarray(o["species"] == 1),
+                jnp.asarray(self.points.type[pid] == TYPE_TEMPORARY),
+                jnp.asarray(ov),
+                focal=float(self.cam.focal_mean),
+                reproj_thresh=cfg.poseoptim_thresh,
+            )
+            frame.T_f_w = se3np.normalize(np.asarray(pout["T_f_w"], np.float64))
+            inlier = np.asarray(pout["inlier"])
         n_inliers = int(inlier.sum())
         # strip outlier observations
         o["point_id"] = np.where(ov & ~inlier, -1, o["point_id"])
         o["valid"] &= o["point_id"] >= 0
 
-        # drop check vs the budget-capped previous count (the bootstrap can
-        # exceed max_fts; the reprojector is budgeted to max_fts cells)
-        if n_inliers < cfg.quality_min_fts or (
-            min(self.n_last_inliers, cfg.max_fts) - n_inliers
-            > cfg.quality_max_drop_fts
-        ):
+        # tracking quality (setTrackingQuality, frame_handler_base.cpp:165-179):
+        # only INSUFFICIENT (< quality_min_fts) fails the frame; a large
+        # feature drop marks quality BAD but the reference never acts on it
+        if n_inliers < cfg.quality_min_fts:
             frame.T_f_w = last.T_f_w.copy()
             self.stage = STAGE_RELOC
             return FrameResult(RESULT_FAILURE, frame.T_f_w, n_matches, n_inliers)
+        self.tracking_bad = (
+            min(self.n_last_inliers, cfg.max_fts) - n_inliers
+            > cfg.quality_max_drop_fts
+        )
         self.n_last_inliers = n_inliers
 
         # ---- 4. scene depth statistics ----
@@ -374,8 +444,10 @@ class FrameHandler:
         depth_min = float(z.min()) if len(z) else 0.1
         distance_mean = float(np.median(d)) if len(d) else 1.0
 
-        # ---- 5. keyframe decision ----
-        is_kf = self._need_new_kf(frame, distance_mean)
+        # ---- 5. keyframe decision ----  (the frame right after bootstrap is
+        # forced to be a keyframe: afterInit_, frame_handler_mono.cpp:275-294)
+        is_kf = self.after_init or self._need_new_kf(frame, distance_mean)
+        self.after_init = False
         result = RESULT_FRAME
         if is_kf:
             result = RESULT_KEYFRAME
@@ -388,16 +460,23 @@ class FrameHandler:
             # observed points re-memoize their appearance from this view
             # (getCloseViewObs analogue: recency ≈ closest viewing angle)
             self._refresh_patch_sources(frame)
-            self._run_ba(frame)
+            self.points.register_obs(frame)
+            # release points that left the field of view (bounded slot usage
+            # on long sequences; see PointTable.gc_stale)
+            self.points.gc_stale(kf_idx)
+            with self._t("local_ba"):
+                self._run_ba(frame)
         else:
             self.regular_counter += 1
 
         # ---- 6. depth-filter sweep (mapping work, synchronous) ----
-        n_upd = self._depth_filter_sweep(frame)
+        with self._t("seed_update"):
+            n_upd = self._depth_filter_sweep(frame)
         if is_kf:
             thresh = 100.0 if n_inliers <= 70 else 200.0
-            self._harvest_seeds()
-            self._add_keyframe_seeds(frame, distance_mean, 0.5 * depth_min, thresh)
+            with self._t("feature_detection"):
+                self._harvest_seeds()
+                self._add_keyframe_seeds(frame, distance_mean, 0.5 * depth_min, thresh)
 
         self.motion_model = se3np.mul(frame.T_f_w, se3np.inv(last.T_f_w))
         self.pre_frames.append(frame)
@@ -565,7 +644,9 @@ class FrameHandler:
         )
         success = np.asarray(mout["success"]) & (np.arange(n_max) < len(idxs))
         wsel = np.where(success)[0]
-        budget = max(0, min(len(wsel), self.cfg.n_fts_max - n_have))
+        # budget to the frame feature target, not the slot capacity
+        # (reprojector.cpp:309-328 tops up to maxFts)
+        budget = max(0, min(len(wsel), self.cfg.max_fts - n_have))
         wsel = wsel[:budget]
         if len(wsel) == 0:
             return 0
@@ -585,6 +666,7 @@ class FrameHandler:
         pts.idist[pidx] = sd["mu"][s_ids]
         pts.host_win[pidx] = sd["host_win"][s_ids]
         pts.host_anchor[pidx] = sd["host_anchor"][s_ids]
+        pts.last_obs_kf[pidx] = len(self.kfs.frames) - 1
         pts.init_patch_from_host(pidx)
         # link seed → temp point
         self.seeds["temp_point"] = (
@@ -750,6 +832,7 @@ class FrameHandler:
         self.points.idist[idx] = np.asarray(snap["mu"])[w]
         self.points.host_win[idx] = np.asarray(seeds_before["host_win"])[w]
         self.points.host_anchor[idx] = np.asarray(seeds_before["host_anchor"])[w]
+        self.points.last_obs_kf[idx] = len(self.kfs.frames) - 1
         self.points.init_patch_from_host(idx)
         self.points.n_succ[idx] = 0
         self.points.n_fail[idx] = 0
@@ -810,11 +893,68 @@ class FrameHandler:
         run_local_ba(self, center)
 
     # ---------------------------------------------------------------- misc
+    def _closest_keyframe(self, T_ref: np.ndarray) -> Frame | None:
+        """Closest keyframe by camera distance among keyframes looking the
+        same way — the ``Map::getClosestKeyframe`` analogue (map.cpp:193-230;
+        the reference gates on 5-keypoint FoV overlap, here on optical-axis
+        agreement, which the overlap test implies for forward-looking rigs).
+        Only keyframes that still hold their image pyramid qualify (the
+        coarse relocalizer needs one); falls back to the last keyframe."""
+        pos = se3np.translation(se3np.inv(T_ref))
+        axis = T_ref[:3, 2]  # camera z-axis in world = R row 2 of world→cam
+        best, best_d = None, np.inf
+        for kf in self.kfs.frames:
+            if kf.data is None or "pyr" not in kf.data:
+                continue
+            cos = float(np.dot(axis, kf.T_f_w[:3, 2]))
+            if cos < 0.5:
+                continue
+            d = float(np.linalg.norm(kf.pos() - pos))
+            if d < best_d:
+                best, best_d = kf, d
+        if best is None and self.kfs.frames:
+            last = self.kfs.last()
+            best = last if last.data is not None else None
+        return best
+
+    def reset_all(self) -> None:
+        """Full reset after prolonged tracking failure
+        (``FrameHandlerMono::resetAll``, frame_handler_mono.cpp:409-417):
+        wipe map, seeds and counters and re-enter the bootstrap."""
+        cfg = self.cfg
+        self.points = PointTable(cfg.n_points_ba_max * 2)
+        self.kfs = KeyframeWindow(k_all_max=cfg.max_n_kfs, recent=SEED_RING)
+        self.seeds = empty_seeds(cfg.n_seeds_max)
+        self.seed_ring = np.full(SEED_RING, -1, np.int32)
+        self.batch_counter = 0
+        self.stage = STAGE_FIRST
+        self.motion_model = se3np.identity()
+        self.first_frame = None
+        self._init_px = None
+        self.regular_counter = 0
+        self.n_last_inliers = 0
+        self.after_init = False
+        self.reloc_fail_count = 0
+        self.mean_converge_frames = 6.0
+        self.pre_frames.clear()
+
+    RELOC_MAX_FAILURES = 30
+
     def _relocalize(self, frame: Frame) -> FrameResult:
         if not self.kfs.frames:
             return FrameResult(RESULT_FAILURE, frame.T_f_w)
-        ref = self.kfs.last()
-        if ref.data is None:
+        res = self._relocalize_attempt(frame)
+        if res.status == RESULT_FAILURE:
+            self.reloc_fail_count += 1
+            if self.reloc_fail_count >= self.RELOC_MAX_FAILURES:
+                self.reset_all()
+        else:
+            self.reloc_fail_count = 0
+        return res
+
+    def _relocalize_attempt(self, frame: Frame) -> FrameResult:
+        ref = self._closest_keyframe(self.last_frame.T_f_w)
+        if ref is None:
             # no stored pyramid (e.g. after checkpoint resume): relocalize
             # against the MAP — the memoized point windows make direct
             # matching possible without any keyframe image
@@ -845,7 +985,9 @@ class FrameHandler:
             self.stage = STAGE_DEFAULT
             self.last_frame = ref
             return self._process_default(frame)
-        return FrameResult(RESULT_FAILURE, frame.T_f_w)
+        # escalate: photometric reloc against the chosen keyframe failed —
+        # try the wider-basin map-based matcher before giving up this frame
+        return self._relocalize_by_map(frame)
 
     def _relocalize_by_map(self, frame: Frame) -> FrameResult:
         """Match memoized point windows + pose LM, iterated: the first pass

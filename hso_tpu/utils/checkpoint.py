@@ -29,6 +29,7 @@ def save_checkpoint(handler, path: str) -> None:
         "pt_patch_f": pts.patch_f, "pt_patch_level": pts.patch_level,
         "pt_patch_grad": pts.patch_grad, "pt_patch_win": pts.patch_win,
         "pt_patch_anchor": pts.patch_anchor,
+        "pt_last_obs_kf": pts.last_obs_kf,
         # keyframes
         "kf_poses": handler.kfs.poses, "kf_exposure": handler.kfs.exposure,
         "kf_count": np.int64(len(handler.kfs.frames)),
@@ -90,6 +91,8 @@ def load_checkpoint(handler, path: str) -> None:
         pts.patch_anchor = z["pt_patch_anchor"].copy()
     else:  # checkpoints written before patch sources existed
         pts.init_patch_from_host(np.arange(pts.p_max))
+    if "pt_last_obs_kf" in z.files:
+        pts.last_obs_kf = z["pt_last_obs_kf"].copy()
     pts._free = [i for i in range(pts.p_max - 1, -1, -1) if not pts.valid[i]]
 
     handler.kfs.poses = z["kf_poses"].copy()
@@ -106,6 +109,12 @@ def load_checkpoint(handler, path: str) -> None:
             is_keyframe=True, kf_index=i,
         )
         handler.kfs.frames.append(f)
+
+    # rebuild the inverted point→(kf, slot) observation index from the
+    # restored forward tables (it is derived state, not serialized)
+    pts.obs_refs = [[] for _ in range(pts.p_max)]
+    for f in handler.kfs.frames:
+        pts.register_obs(f)
 
     if "lastkf_pyr_0" in z.files and handler.kfs.frames:
         pyr = []

@@ -38,6 +38,13 @@ class PerformanceMonitor:
         self._fh = open(path, "w")
         self._fh.write(",".join(self._columns) + "\n")
 
+    def new_frame(self) -> None:
+        """Zero all timers/logs so stages skipped this frame read 0."""
+        for k in self._timers:
+            self._timers[k] = 0.0
+        for k in self._logs:
+            self._logs[k] = 0.0
+
     def start_timer(self, name: str) -> None:
         self._starts[name] = time.perf_counter()
 
@@ -52,6 +59,10 @@ class PerformanceMonitor:
 
     def log(self, name: str, value: float) -> None:
         self._logs[name] = float(value)
+
+    def set_timer(self, name: str, seconds: float) -> None:
+        """Record an externally measured duration."""
+        self._timers[name] = float(seconds)
 
     def timing(self, name: str):
         """Context manager: with monitor.timing('stage'): ..."""

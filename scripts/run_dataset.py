@@ -4,9 +4,13 @@ TUM-format keyframe trajectory output for evo evaluation.
 
     python scripts/run_dataset.py image=<dir> calib=<file> [times=<file>]
         [start=<n>] [end=<n>] [name=<result name>] [cpu=1] [photo=1]
+        [trace=1] [gt=<file>]
 
 ``photo=1`` enables online photometric calibration (response + vignette +
 exposure; for TUM MonoVO-class auto-exposure sequences).
+``trace=1`` writes per-frame stage timings to result/<name>_trace.csv (the
+reference's HSO_TRACE CSV).  ``gt=<groundtruth>`` prints scale-aligned ATE
+after the run (TUM or EuRoC csv format).
 """
 
 import os
@@ -62,6 +66,10 @@ def main() -> None:
 
     cfg = Config(photometric_calib=bool(int(args.get("photo", "0"))))
     vo = FrameHandler(cam_pipeline, cfg)
+    if args.get("trace"):
+        os.makedirs("result", exist_ok=True)
+        vo.enable_tracing(trace_name=f"{args.get('name', 'KeyFrameTrajectory')}_trace",
+                          trace_dir="result")
     t0 = time.time()
     n_fail = 0
     if native is not None:
@@ -95,6 +103,22 @@ def main() -> None:
         f"done: {end - start} frames in {dt:.1f}s ({(end - start) / dt:.1f} fps), "
         f"{n_kf} keyframes -> {out}, {n_fail} failures"
     )
+    if vo.monitor is not None:
+        vo.monitor.close()
+        print(f"trace -> result/{vo.monitor.trace_name}.csv")
+    if args.get("gt"):
+        from hso_tpu.utils.evaluate import associate, ate, load_tum
+
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from evaluate_ate import load_any
+
+        st_e, rows_e = load_tum(out)
+        st_g, xyz_g = load_any(args["gt"])
+        ia, ib = associate(st_e, st_g, max_dt=float(args.get("max_dt", 0.02)))
+        if len(ia) >= 3:
+            print(ate(rows_e[ia, :3], xyz_g[ib]))
+        else:
+            print(f"ATE: only {len(ia)} associated pairs — skipped")
 
 
 if __name__ == "__main__":

@@ -1,5 +1,5 @@
-"""Distributed BA on a virtual 8-device CPU mesh, golden-tested against the
-single-device solver (SURVEY.md §7 item 11)."""
+"""Distributed BA (point-block sharded) on a virtual 8-device CPU mesh,
+golden-tested against the single-device solver (SURVEY.md §7 item 11)."""
 
 import numpy as np
 import jax
@@ -7,7 +7,12 @@ import jax.numpy as jnp
 import pytest
 from jax.sharding import Mesh
 
-from hso_tpu.ba.distributed import compute_deltas, make_distributed_ba, shard_obs
+from hso_tpu.ba.distributed import (
+    compute_deltas,
+    make_distributed_ba,
+    shard_obs,
+    shard_problem,
+)
 from hso_tpu.ba.local_ba import local_bundle_adjustment
 
 from test_local_ba import FOCAL, make_ba_problem, pose_errors
@@ -20,45 +25,73 @@ def mesh():
     return Mesh(devs, axis_names=("obs",))
 
 
+def _run_distributed(mesh, prob, n_iter):
+    n_dev = mesh.devices.size
+    obs_s, idist_s, pv_s, p_local, n_dropped = shard_problem(
+        prob["obs"], prob["idist"], prob["point_valid"], n_dev)
+    assert n_dropped == 0, n_dropped
+    deltas = compute_deltas(prob["T_kf"], prob["idist"], prob["obs"], FOCAL)
+    dba = make_distributed_ba(mesh, n_kf=prob["K"], n_pts_local=p_local,
+                              n_iter=n_iter)
+    T_d, id_d, chi2_d = dba(
+        prob["T_kf"], prob["free"], jnp.asarray(idist_s), jnp.asarray(pv_s),
+        shard_obs({k: jnp.asarray(v) for k, v in obs_s.items()}, mesh),
+        *deltas,
+    )
+    return np.asarray(T_d), np.asarray(id_d)[: prob["P"]], float(chi2_d)
+
+
 def test_distributed_matches_single_device(mesh):
     prob = make_ba_problem(noise_px=0.3, seed=9, E=2048)
-    obs = prob["obs"]
-
     ref = local_bundle_adjustment(
         prob["T_kf"], prob["free"], prob["idist"], prob["point_valid"],
-        obs, n_kf=prob["K"], n_pts=prob["P"], n_iter=12, focal=FOCAL,
+        prob["obs"], n_kf=prob["K"], n_pts=prob["P"], n_iter=12, focal=FOCAL,
     )
-
-    deltas = compute_deltas(prob["T_kf"], prob["idist"], obs, FOCAL)
-    dba = make_distributed_ba(mesh, n_kf=prob["K"], n_pts=prob["P"], n_iter=12)
-    obs_sh = shard_obs(obs, mesh)
-    T_d, id_d, chi2_d = dba(
-        prob["T_kf"], prob["free"], prob["idist"], prob["point_valid"],
-        obs_sh, *deltas,
-    )
+    T_d, id_d, chi2_d = _run_distributed(mesh, prob, n_iter=12)
 
     # both must reach (nearly) the same optimum
     np.testing.assert_allclose(
-        float(chi2_d), float(ref["chi2_final"]), rtol=0.1, atol=1e-5
+        chi2_d, float(ref["chi2_final"]), rtol=0.1, atol=1e-5
     )
     errs_ref = pose_errors(np.asarray(ref["T_kf"]), prob["T_gt"], prob["n_kf"])
-    errs_d = pose_errors(np.asarray(T_d), prob["T_gt"], prob["n_kf"])
+    errs_d = pose_errors(T_d, prob["T_gt"], prob["n_kf"])
     assert errs_d.max() < max(2.0 * errs_ref.max(), 2e-2)
     # landmarks agree
     pv = np.asarray(prob["point_valid"])
     np.testing.assert_allclose(
-        np.asarray(id_d)[pv], np.asarray(ref["idist"])[pv], rtol=0.05, atol=1e-3
+        id_d[pv], np.asarray(ref["idist"])[pv], rtol=0.05, atol=1e-3
     )
 
 
 def test_distributed_convergence(mesh):
     prob = make_ba_problem(noise_px=0.0, seed=12, E=2048)
-    obs = prob["obs"]
-    deltas = compute_deltas(prob["T_kf"], prob["idist"], obs, FOCAL)
-    dba = make_distributed_ba(mesh, n_kf=prob["K"], n_pts=prob["P"], n_iter=15)
-    T_d, id_d, chi2_d = dba(
-        prob["T_kf"], prob["free"], prob["idist"], prob["point_valid"],
-        shard_obs(obs, mesh), *deltas,
-    )
-    errs = pose_errors(np.asarray(T_d), prob["T_gt"], prob["n_kf"])
+    T_d, _, _ = _run_distributed(mesh, prob, n_iter=15)
+    errs = pose_errors(T_d, prob["T_gt"], prob["n_kf"])
     assert errs.max() < 2e-3, errs
+
+
+def test_shard_problem_roundtrip(mesh):
+    """Every valid observation row lands on its point's owner with a
+    correctly rebased local index; landmark arrays pad block-contiguously."""
+    prob = make_ba_problem(noise_px=0.1, seed=4, E=1024)
+    n_dev = 8
+    obs_s, idist_s, pv_s, p_local, n_dropped = shard_problem(
+        prob["obs"], prob["idist"], prob["point_valid"], n_dev)
+    assert n_dropped == 0
+    assert len(idist_s) == n_dev * p_local
+    np.testing.assert_array_equal(
+        idist_s[: prob["P"]], np.asarray(prob["idist"]))
+    e_local = len(obs_s["point"]) // n_dev
+    # reconstruct global point ids and compare multisets of (point, meas)
+    got = []
+    for d in range(n_dev):
+        sl = slice(d * e_local, (d + 1) * e_local)
+        v = obs_s["valid"][sl]
+        gp = obs_s["point"][sl][v] + d * p_local
+        assert ((gp >= d * p_local) & (gp < (d + 1) * p_local)).all()
+        got += list(zip(gp.tolist(),
+                        obs_s["meas"][sl][v][:, 0].tolist()))
+    obs = {k: np.asarray(v) for k, v in prob["obs"].items()}
+    want = list(zip(obs["point"][obs["valid"]].tolist(),
+                    obs["meas"][obs["valid"]][:, 0].tolist()))
+    assert sorted(got) == sorted(want)

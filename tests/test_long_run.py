@@ -24,13 +24,15 @@ N_FRAMES = 150
 
 
 def trajectory(n: int):
+    # brisk oscillating sweep: enough optical flow that the DSO keyframe
+    # criterion fires regularly (a crawl would correctly yield few KFs)
     poses = []
     for k in range(n):
-        t = k / 30.0
+        t = k / 18.0
         xi = np.r_[
-            0.7 * np.sin(0.8 * t),
-            0.1 * np.sin(0.5 * t),
-            0.22 * t,
+            0.8 * np.sin(0.8 * t),
+            0.12 * np.sin(0.5 * t),
+            0.14 * t,
             0.02 * np.sin(0.9 * t),
             -0.05 * np.sin(0.6 * t),
             0.02 * np.sin(0.4 * t),
