@@ -38,6 +38,31 @@ TYPE_GOOD = 4
 HOST_WIN = 24
 
 
+def crop_window(win: np.ndarray, anchor: np.ndarray, px: np.ndarray,
+                level: np.ndarray, out: int = HOST_WIN):
+    """Crop memoized appearance windows to the point table's HOST_WIN.
+
+    The depth filter stores wider seed windows (long-range epipolar search
+    needs a 10×10 patch at up to two levels coarser); when a seed becomes a
+    map point only the compact neighbourhood matters.  Keeps the feature
+    centred with the same clip rule as ``ops.gatherless.clip_anchor`` and
+    returns (win_out (N,out,out), anchor_out (N,2))."""
+    n, w_in = win.shape[0], win.shape[1]
+    if w_in == out:
+        return win, anchor
+    scale = 1.0 / (1 << level.astype(np.int64)).astype(np.float64)
+    cu = px[:, 0] * scale - anchor[:, 0]
+    cv = px[:, 1] * scale - anchor[:, 1]
+    ou = np.clip(np.rint(cu).astype(np.int64) - out // 2, 0, w_in - out)
+    ov = np.clip(np.rint(cv).astype(np.int64) - out // 2, 0, w_in - out)
+    rows = np.arange(n)[:, None, None]
+    vv = (ov[:, None] + np.arange(out))[:, :, None]
+    uu = (ou[:, None] + np.arange(out))[:, None, :]
+    return win[rows, vv, uu], (
+        anchor + np.stack([ou, ov], -1).astype(anchor.dtype)
+    )
+
+
 class PointTable:
     """Fixed-capacity landmark SoA (host numpy; device copies made on use)."""
 

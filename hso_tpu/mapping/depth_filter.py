@@ -42,7 +42,11 @@ from hso_tpu.ops.epipolar import epipolar_zmncc_search, triangulate_depth
 from hso_tpu.ops.gatherless import bilinear_scatter_in_windows, clip_anchor, extract_windows
 from hso_tpu.ops.warp import best_search_level, warp_matrices
 
-HOST_WIN = 24          #: stored host-image window edge
+HOST_WIN = 44          #: stored host-image window edge.  Sized so the 10×10
+#: bordered ref patch stays inside even when the epipolar search runs two
+#: levels coarser than the seed's own level (±5·2² px + bilinear tap) — the
+#: long-range search case; the point table keeps the compact 24 px windows
+#: (mapmodel.structures.crop_window at the seed→point handoffs).
 N_OBS_RING = 8         #: per-seed observation ring for activation refinement
 SEED_FIELDS = (
     "valid", "host", "px", "f", "level", "species", "grad",
@@ -204,11 +208,31 @@ def update_seeds(
     d_prior = 1.0 / mu_safe
     d_far = 1.0 / z_inv_max
 
+    # ---- epipolar endpoints (level-0 pixel coords) ----
+    p_close = se3.apply(T_cur_ref, seeds["f"] * d_close[:, None])
+    p_far = se3.apply(T_cur_ref, seeds["f"] * d_far[:, None])
+    geom_ok = (p_far[:, 2] > 1e-3) & (d_far > d_close * 0.999)
+    px_close0 = cam.world2cam(p_close)
+    px_far0 = cam.world2cam(p_far)
+    epl0_len = jnp.linalg.norm(px_close0 - px_far0, axis=-1)
+
     # ---- affine warp of the memoized host patch ----
     A_cur_ref, _ = warp_matrices(
         cam, cam, seeds["px"], seeds["f"], d_prior, T_cur_ref, seeds["level"]
     )
     search_level = jnp.clip(best_search_level(A_cur_ref, n_levels - 1), 0, n_levels - 1)
+    # search-range parity with the reference's 100 px cap (matcher.cpp:
+    # 875-879): a ±2σ segment longer than the search window holds at the
+    # warp-chosen level is matched one/two levels coarser instead of cropped
+    # away — full range coverage up to MAX_EPL·2^(n_levels-1) = 144 px in
+    # level-0 coords, beyond the reference's cap (uncertain seeds trade
+    # match precision for range; the KLT refinement restores subpixel).
+    from hso_tpu.ops.epipolar import MAX_EPL
+
+    for _ in range(n_levels - 1):
+        fits = epl0_len * (2.0 ** -search_level.astype(jnp.float32)) <= MAX_EPL
+        search_level = jnp.where(fits, search_level, search_level + 1)
+    search_level = jnp.clip(search_level, 0, n_levels - 1)
     from hso_tpu.math.linalg_small import inv2x2
 
     A_ref_cur = inv2x2(A_cur_ref)
@@ -225,11 +249,6 @@ def update_seeds(
     ref_patch = ref_border[:, 1:9, 1:9]
 
     # ---- epipolar endpoints at the search level ----
-    p_close = se3.apply(T_cur_ref, seeds["f"] * d_close[:, None])
-    p_far = se3.apply(T_cur_ref, seeds["f"] * d_far[:, None])
-    geom_ok = (p_far[:, 2] > 1e-3) & (d_far > d_close * 0.999)
-    px_close0 = cam.world2cam(p_close)
-    px_far0 = cam.world2cam(p_far)
     s_scale = (2.0 ** -search_level.astype(jnp.float32))[:, None]
     px_close_l = px_close0 * s_scale
     px_far_l = px_far0 * s_scale

@@ -42,6 +42,7 @@ from hso_tpu.mapmodel.structures import (
     TYPE_GOOD,
     TYPE_TEMPORARY,
     TYPE_UNKNOWN,
+    crop_window,
     empty_obs,
 )
 from hso_tpu.mapping.depth_filter import (
@@ -664,8 +665,12 @@ class FrameHandler:
         pts.species[pidx] = sd["species"][s_ids]
         pts.grad[pidx] = sd["grad"][s_ids]
         pts.idist[pidx] = sd["mu"][s_ids]
-        pts.host_win[pidx] = sd["host_win"][s_ids]
-        pts.host_anchor[pidx] = sd["host_anchor"][s_ids]
+        win_c, anch_c = crop_window(
+            sd["host_win"][s_ids], sd["host_anchor"][s_ids],
+            sd["px"][s_ids], sd["level"][s_ids],
+        )
+        pts.host_win[pidx] = win_c
+        pts.host_anchor[pidx] = anch_c
         pts.last_obs_kf[pidx] = len(self.kfs.frames) - 1
         pts.init_patch_from_host(pidx)
         # link seed → temp point
@@ -830,8 +835,13 @@ class FrameHandler:
         self.points.species[idx] = np.asarray(snap["species"])[w]
         self.points.grad[idx] = np.asarray(snap["grad"])[w]
         self.points.idist[idx] = np.asarray(snap["mu"])[w]
-        self.points.host_win[idx] = np.asarray(seeds_before["host_win"])[w]
-        self.points.host_anchor[idx] = np.asarray(seeds_before["host_anchor"])[w]
+        win_c, anch_c = crop_window(
+            np.asarray(seeds_before["host_win"])[w],
+            np.asarray(seeds_before["host_anchor"])[w],
+            np.asarray(snap["px"])[w], np.asarray(snap["level"])[w],
+        )
+        self.points.host_win[idx] = win_c
+        self.points.host_anchor[idx] = anch_c
         self.points.last_obs_kf[idx] = len(self.kfs.frames) - 1
         self.points.init_patch_from_host(idx)
         self.points.n_succ[idx] = 0

@@ -104,6 +104,42 @@ def test_prune_stale(setup):
     assert int(np.asarray(seeds2["valid"]).sum()) == 0
 
 
+def test_long_epipolar_range(setup):
+    """Search-range parity with the reference's 100 px cap (matcher.cpp:
+    875-879): a wide-baseline frame projects the fresh seeds' ±2σ range to a
+    ~90 px segment at level 0 — far beyond one 48 px search window.  The
+    level-bump must keep the WHOLE range searchable (coarser level) instead
+    of cropping the true depth away, and the fused estimates must land near
+    ground truth in a single observation."""
+    cam, scene = setup["cam"], setup["scene"]
+    seeds = setup["seeds"]
+    host_T = jnp.asarray(np.stack([se3np.identity()] * 4).astype(np.float32))
+    host_exp = jnp.ones((4,), jnp.float32)
+    px_err_angle = float(np.arctan(1.0 / (2.0 * cam.focal_mean)) * 2.0)
+
+    # prior mu=1/3, sigma=z_range/6=1/6 → ±2σ inverse-depth range ≈ 0.67;
+    # 0.35 m sideways ⇒ epl ≈ f·tx·Δρ ≈ 94 px at level 0
+    T_cur_w = se3np.exp(np.r_[0.35, 0.0, 0.0, 0.0, 0.0, 0.0])
+    img = scene.render(T_cur_w)
+    cur = build_frame_pyramids(jnp.asarray(img))
+    seeds2, stats = update_seeds(
+        seeds, host_T, host_exp, cur["pyr"], cur["sobel_x"], cur["sobel_y"],
+        jnp.asarray(T_cur_w, jnp.float32), 1.0, px_err_angle, cam,
+    )
+    valid = np.asarray(seeds["valid"])
+    n_upd = int(stats["n_updated"])
+    # with the old 36 px crop toward the far (deep) end the true depths
+    # (~2-2.6 m, ≳70 px along the segment) were unreachable
+    assert n_upd > 0.25 * valid.sum(), (n_upd, valid.sum())
+
+    upd = np.asarray(seeds2["n_updates"]) > np.asarray(seeds["n_updates"])
+    px = np.asarray(seeds["px"])[upd]
+    mu1 = np.asarray(seeds2["mu"])[upd]
+    d_gt = scene.depth_along_ray(px.astype(np.float64))
+    rel = np.abs(1.0 / mu1 - d_gt) / d_gt
+    assert np.median(rel) < 0.10, np.median(rel)
+
+
 def test_no_update_without_parallax(setup):
     """Pure rotation gives no depth information: seeds should survive but
     gain nothing (epl degenerates to a point)."""
