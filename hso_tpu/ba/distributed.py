@@ -138,6 +138,79 @@ def make_distributed_ba(mesh: Mesh, n_kf: int, n_pts_local: int,
     return jax.jit(fn)
 
 
+_DBA_CACHE: dict = {}
+
+
+def distributed_bundle_adjustment(
+    T_kf, free_kf, idist, point_valid, obs,
+    n_kf: int, n_pts: int, n_iter: int = 10, focal: float = 450.0,
+    strip_px: float = 2.0, n_devices: int = 0,
+):
+    """Drop-in replacement for :func:`hso_tpu.ba.local_ba.
+    local_bundle_adjustment` that runs the LM loop point-block-sharded over
+    the available device mesh (``Config.distributed_ba`` routes the live
+    pipeline here, ba_glue.run_local_ba).
+
+    Same inputs/outputs as the single-device solver; ``n_devices`` 0 means
+    all devices of the default backend.  The host-side repartition
+    (:func:`shard_problem`) and the post-solve inlier test add one extra
+    linearization — outlier stripping semantics match local_ba
+    (/root/reference/src/bundle_adjustment.cpp:843-892).
+    """
+    import numpy as np
+    from hso_tpu.ba.local_ba import huber_chi2, residuals_and_jacobians
+
+    devs = jax.devices()
+    nd = n_devices or len(devs)
+    nd = min(nd, len(devs))
+
+    obs_j = {k: jnp.asarray(v) for k, v in obs.items()}
+    T_kf = jnp.asarray(T_kf, jnp.float32)
+    idist = jnp.asarray(idist, jnp.float32)
+    deltas = compute_deltas(T_kf, idist, obs_j, focal)
+
+    obs_s, idist_s, pv_s, p_local, _dropped = shard_problem(
+        obs_j, idist, point_valid, nd)
+
+    key = (nd, n_kf, p_local, n_iter)
+    if key not in _DBA_CACHE:
+        mesh = Mesh(np.array(devs[:nd]), axis_names=("obs",))
+        _DBA_CACHE[key] = (mesh, make_distributed_ba(
+            mesh, n_kf=n_kf, n_pts_local=p_local, n_iter=n_iter))
+    mesh, step = _DBA_CACHE[key]
+
+    T_f, idist_f, chi2_final = step(
+        T_kf, jnp.asarray(free_kf), jnp.asarray(idist_s), jnp.asarray(pv_s),
+        shard_obs({k: jnp.asarray(v) for k, v in obs_s.items()}, mesh),
+        *deltas,
+    )
+    idist_out = jnp.asarray(np.asarray(idist_f)[:n_pts])
+
+    # chi2_init + final inlier test on the original (global-index) obs
+    r0, _, _, _, sqrt_info = residuals_and_jacobians(T_kf, idist, obs_j)
+    rn0 = jnp.where(
+        obs_j["is_edgelet"], jnp.abs(r0[:, 0]), jnp.linalg.norm(r0, axis=-1)
+    ) * sqrt_info
+    chi2_init = huber_chi2(rn0, obs_j["is_edgelet"], obs_j["valid"], *deltas)
+    r_f, _, _, _, sqrt_info = residuals_and_jacobians(T_f, idist_out, obs_j)
+    rn_f = jnp.where(
+        obs_j["is_edgelet"], jnp.abs(r_f[:, 0]), jnp.linalg.norm(r_f, axis=-1)
+    ) * sqrt_info
+    thresh = jnp.where(
+        obs_j["is_edgelet"], 0.6 * strip_px / focal, strip_px / focal
+    )
+    obs_inlier = obs_j["valid"] & (rn_f <= thresh)
+
+    return {
+        "T_kf": T_f,
+        "idist": idist_out,
+        "obs_inlier": obs_inlier,
+        "chi2_init": chi2_init,
+        "chi2_final": chi2_final,
+        "deltas": deltas,
+    }
+
+
 def shard_obs(obs: dict, mesh: Mesh, axis: str = "obs") -> dict:
     """Place observation arrays sharded over the mesh axis."""
     out = {}

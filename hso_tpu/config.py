@@ -16,18 +16,19 @@ import dataclasses
 @dataclasses.dataclass
 class Config:
     # ---- pipeline knobs (reference: src/config.cpp:28-64) ----
+    # (the reference's grid_size / reproj_thresh / poseoptim_num_iter knobs
+    # are decorative there too — cell size is derived, reprojThresh is never
+    # read, and frame_handler_mono.cpp:242 hardcodes 12 pose iterations — so
+    # they are not reproduced here)
     n_pyr_levels: int = 3           #: feature/matching pyramid levels
     core_n_kfs: int = 7             #: size of covisibility core for local BA
     map_scale: float = 1.0          #: median scene depth after bootstrap
-    grid_size: int = 36             #: (reference legacy; cell size is derived)
     init_min_disparity: float = 40.0
     init_min_tracked: int = 50
     init_min_inliers: int = 40
     klt_max_level: int = 4          #: coarse tracker top pyramid level
     klt_min_level: int = 0          #: coarse tracker bottom level (tracker uses min+1)
-    reproj_thresh: float = 2.0
     poseoptim_thresh: float = 2.0
-    poseoptim_num_iter: int = 10
     loba_thresh: float = 2.0        #: BA corner outlier-strip threshold [px]
     loba_num_iter: int = 10
     max_n_kfs: int = 2000           #: keyframe registry capacity
@@ -55,6 +56,11 @@ class Config:
     # ---- depth filter ----
     seed_converge_sigma2_thresh: float = 200.0
     max_seed_kf_batches: int = 3    #: seed lifetime in KF batches (ref options_.max_n_kfs)
+
+    # ---- distributed BA (BASELINE.json config 5) ----
+    distributed_ba: bool = False    #: route windowed BA through the
+                                    #: point-block-sharded multi-device solver
+    ba_n_devices: int = 0           #: mesh size for distributed BA (0 = all)
 
     # ---- photometric ----
     exposure_light_thresh: float = 30.0  #: LIGHT_THRESHOLD in matcher.cpp:40

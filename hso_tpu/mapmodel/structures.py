@@ -107,6 +107,10 @@ class PointTable:
         # last keyframe index at which the point was registered/observed —
         # drives the garbage collector for points that left the field of view
         self.last_obs_kf = np.full(p_max, -1, np.int32)
+        # owning KeyframeWindow (set by the pipeline): lets release()
+        # invalidate the released point's forward obs rows so a recycled
+        # slot id can never be re-admitted through a stale row
+        self.kfs = None
 
     PATCH_FIELDS = (
         ("patch_kf", "host_kf"), ("patch_px", "host_px"),
@@ -126,8 +130,19 @@ class PointTable:
         return idx
 
     def release(self, idx) -> None:
+        frames = self.kfs.frames if self.kfs is not None else None
         for i in np.atleast_1d(idx):
             if self.valid[i]:
+                # invalidate forward obs rows BEFORE recycling the slot id
+                # (a stale row with valid=True, point_id=i would re-admit
+                # the slot's next occupant into BA windows)
+                if frames is not None:
+                    for kf, s in self.obs_refs[int(i)]:
+                        if kf < len(frames) and frames[kf].obs is not None:
+                            ko = frames[kf].obs
+                            if ko["point_id"][s] == i:
+                                ko["valid"][s] = False
+                                ko["point_id"][s] = -1
                 self.valid[i] = False
                 self.type[i] = TYPE_DELETED
                 self.obs_refs[int(i)] = []

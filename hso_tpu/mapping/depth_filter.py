@@ -274,7 +274,13 @@ def update_seeds(
     sr = epipolar_zmncc_search(
         windows, anchors, img_hw, ref_patch, px_far_l, px_close_l, active
     )
-    good = active & sr["ok"] & (sr["score_best"] > 0.8)
+    # loose pre-refinement gate: the dense score map is sampled at integer
+    # patch positions, so a subpixel peak (esp. at coarse search levels)
+    # reads well below its refined value — candidate acceptance here mirrors
+    # the reference's generous ZMSSD threshold before KLT refinement
+    # (matcher.cpp:947-969); the strict NCC 0.8 gate applies AFTER
+    # refinement below.
+    good = active & sr["ok"] & (sr["score_best"] > 0.5)
 
     # KLT refinement along the epipolar direction, then a fused final pass
     # (2D for corners, along-normal 1D for edgelets — one LM loop)
@@ -373,12 +379,20 @@ def update_seeds(
     }
 
 
-def _activation_refine(seeds, host_T_w, n_iter: int = 8):
+def _activation_refine(seeds, host_T_w, n_iter: int = 8, min_obs=3.0,
+                       focal=450.0):
     """Multi-view inverse-distance refinement over the per-seed observation
-    ring — the batched analogue of the reference's ``seedOptimizer``
-    (depth_filter.cpp:854-1076; GN on 1-DoF idist over ≤30 target views).
+    ring — the batched analogue of the reference's ``activatePoint`` +
+    ``seedOptimizer`` (depth_filter.cpp:729-852,854-1076; re-match in ≤30
+    target views, mean-shift gate, GN on 1-DoF idist).
 
-    Returns (mu_refined, refine_ok)."""
+    The ring holds independently *matched* positions (epipolar search + KLT,
+    recorded at measurement time), so the reference's re-match displacement
+    test maps to: mean pixel distance between each stored match and the
+    converged estimate's prediction in that view.
+
+    Returns (mu_refined, refine_ok, dist_px) — dist_px is the mean
+    verification displacement (inf when the ring is empty)."""
     T_h = host_T_w[seeds["host"]]                       # (S,3,4)
     T_th = se3.mul(seeds["obs_T"], se3.inv(T_h)[:, None])   # (S,R,3,4)
     fH = seeds["f"]
@@ -414,32 +428,68 @@ def _activation_refine(seeds, host_T_w, n_iter: int = 8):
         return jnp.where(ok, rho_new, rho)
 
     rho0 = seeds["mu"]
+
+    # mean-shift verification at the converged (filtered) estimate: how far
+    # do the stored matches sit from where the converged depth projects them
+    # (activatePoint's distMean, depth_filter.cpp:820-835)
+    r0, _ = residuals(rho0)
+    d_px = focal * jnp.linalg.norm(r0, axis=-1)          # (S,R)
+    w = m.astype(jnp.float32)
+    dist_px = jnp.sum(w * d_px, axis=-1) / jnp.maximum(
+        n_obs.astype(jnp.float32), 1.0)
+    dist_px = jnp.where(n_obs > 0, dist_px, jnp.inf)
+
     rho = jax.lax.fori_loop(0, n_iter, body, rho0)
-    # acceptance gate: enough views and the refinement stayed within the
-    # filter's ±3σ belief (the reference's mean-shift gate analogue)
+    # acceptance gate: enough views — the adaptive threshold is the
+    # convergence-rate statistic clamp(0.7·nMeanConvergeFrame_, 3, 8)
+    # (depth_filter.cpp:772-776) — and the refinement stayed within the
+    # filter's ±3σ belief
     sigma = jnp.sqrt(jnp.maximum(seeds["sigma2"], 0.0))
-    ok = (n_obs >= 3) & (jnp.abs(rho - rho0) < 3.0 * sigma + 1e-6) & (rho > 1e-10)
-    return jnp.where(ok, rho, rho0), ok
+    ok = (
+        (n_obs.astype(jnp.float32) >= min_obs)
+        & (jnp.abs(rho - rho0) < 3.0 * sigma + 1e-6)
+        & (rho > 1e-10)
+    )
+    return jnp.where(ok, rho, rho0), ok, dist_px
 
 
 @jax.jit
-def harvest_and_prune(seeds, batch_counter, host_T_w=None, max_batches: int = 3):
-    """Extract converged seeds (with multi-view activation refinement) and
-    kill stale ones (updateSeeds tail, depth_filter.cpp:375-498).
+def harvest_and_prune(seeds, batch_counter, host_T_w=None, max_batches: int = 3,
+                      min_activation_obs=3.0, focal=450.0):
+    """Extract converged seeds (with multi-view activation re-verification +
+    refinement) and kill stale ones (updateSeeds tail,
+    depth_filter.cpp:375-498).
 
-    Returns (seeds', converged mask, converged snapshot fields)."""
+    Converged seeds whose stored matches disagree with the converged depth
+    (mean displacement > 3.2 px corners / 2.5 px edgelets) are REJECTED —
+    erased without becoming landmarks, exactly the reference's
+    isValid=false path (depth_filter.cpp:820-835,426-434); moderate
+    disagreement (> 2.5 / 2.0 px) keeps the filtered estimate instead of
+    the multi-view refinement (:840-843).
+
+    Returns (seeds', converged mask, converged snapshot fields, stale mask —
+    rejected seeds are folded into stale so their TEMPORARY points die)."""
     sigma = jnp.sqrt(jnp.maximum(seeds["sigma2"], 0.0))
     converged = seeds["valid"] & (
         sigma < seeds["z_range"] / jnp.maximum(seeds["converge_thresh"], 1e-6)
     )
     mu = seeds["mu"]
+    rejected = jnp.zeros_like(converged)
     if host_T_w is not None:
-        mu_ref, _ = _activation_refine(seeds, host_T_w)
-        mu = jnp.where(converged, mu_ref, mu)
+        mu_ref, ref_ok, dist_px = _activation_refine(
+            seeds, host_T_w, min_obs=min_activation_obs, focal=focal)
+        is_edge = seeds["species"] == EDGELET
+        kill_th = jnp.where(is_edge, 2.5, 3.2)
+        refine_th = jnp.where(is_edge, 2.0, 2.5)
+        has_ring = jnp.isfinite(dist_px)
+        rejected = converged & has_ring & (dist_px > kill_th)
+        converged &= ~rejected
+        use_ref = ref_ok & (dist_px <= refine_th)
+        mu = jnp.where(converged & use_ref, mu_ref, mu)
     mu_ok = (mu > 1e-10) & ((seeds["f"][:, 2] / jnp.maximum(mu, 1e-10)) > 1e-10)
     converged &= mu_ok
     stale = seeds["valid"] & (
-        (batch_counter - seeds["batch_id"]) > max_batches
+        ((batch_counter - seeds["batch_id"]) > max_batches) | rejected
     )
     out = dict(seeds)
     out["valid"] = seeds["valid"] & ~converged & ~stale

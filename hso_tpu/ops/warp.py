@@ -19,7 +19,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from hso_tpu.math.linalg_small import det2x2, inv2x2
+from hso_tpu.math.linalg_small import det2x2
 from hso_tpu.ops.gatherless import (
     bilinear_scatter_in_windows,
     clip_anchor,
@@ -28,7 +28,6 @@ from hso_tpu.ops.gatherless import (
 
 BORD = 10          # bordered patch edge (patch 8 + 1px border)
 HALF_BORD = 5
-WARP_WIN = 32
 
 
 def warp_matrices(cam_ref, cam_cur, px_ref, f_ref, depth_ref, T_cur_ref, level_ref):
@@ -67,12 +66,35 @@ def best_search_level(A_cur_ref: jnp.ndarray, max_level: int) -> jnp.ndarray:
     return level
 
 
+def _box_blur_window(win: jnp.ndarray, k: int) -> jnp.ndarray:
+    """k×k box average of (N, W, W) windows, top-left anchored (same size,
+    edge-replicated): b[y, x] = mean win[y:y+k, x:x+k] — the filter a pyramid
+    level ``log2(k)`` applies before subsampling."""
+    w = win.shape[-1]
+    p = jnp.pad(win, ((0, 0), (0, k - 1), (0, k - 1)), mode="edge")
+    acc = jnp.zeros_like(win)
+    for dy in range(k):
+        for dx in range(k):
+            acc = acc + p[:, dy : dy + w, dx : dx + w]
+    return acc / float(k * k)
+
+
 def warp_from_stored_windows(
-    host_win, host_anchor, px_host, host_level, A_ref_cur, search_level
+    host_win, host_anchor, px_host, host_level, A_ref_cur, search_level,
+    max_mip_delta: int = 2,
 ):
     """Warped 10×10 bordered reference patches sampled from memoized host
     windows (no host-image access).  ``px_host`` are level-0 coords;
-    ``host_level`` (N,) the level the window was extracted at."""
+    ``host_level`` (N,) the level the window was extracted at.
+
+    When the search runs coarser than the host level (long epipolar ranges,
+    strong scale change), the grid points land 2^Δ px apart in the stored
+    window — point-sampling the fine texture there aliases against the
+    box-filtered current pyramid level and decorrelates the ZMNCC (the
+    reference avoids this by always reading the ref *pyramid* at the search
+    level, matcher.cpp:87-155).  We emulate that filtering per row: the
+    window is box-blurred by 2^Δ (Δ = search − host level, clipped) before
+    sampling — a masked select over ``max_mip_delta``+1 precomputed blurs."""
     n = host_win.shape[0]
     g = jnp.arange(BORD, dtype=jnp.float32) - HALF_BORD
     gx, gy = jnp.meshgrid(g, g)
@@ -82,44 +104,19 @@ def warp_from_stored_windows(
     lvl_scale = 1.0 / (1 << host_level).astype(jnp.float32)
     hu = src[:, 0, :] + (px_host[:, 0] * lvl_scale - host_anchor[:, 0])[:, None]
     hv = src[:, 1, :] + (px_host[:, 1] * lvl_scale - host_anchor[:, 1])[:, None]
-    return bilinear_scatter_in_windows(host_win, hu, hv).reshape(n, BORD, BORD)
 
-
-def warp_patches_border(
-    ref_img, px_ref, level_ref, A_cur_ref, search_level, valid
-):
-    """Warped 10×10 bordered reference patches (matcher.cpp:87-155, float).
-
-    ref_img      : (H, W) ref pyramid image at ``level_ref`` (single level —
-                   callers partition candidates by ref level / ref image)
-    px_ref       : (N, 2) level-0 feature coords
-    level_ref    : int (static for the partition)
-    A_cur_ref    : (N, 2, 2)
-    search_level : (N,) int target pyramid level
-    Returns (N, 10, 10) patches; invalid/out-of-window samples are 0.
-    """
-    n = px_ref.shape[0]
-    h, w = ref_img.shape
-    scale_ref = 1.0 / (1 << level_ref)
-    px_lvl_u = px_ref[:, 0] * scale_ref
-    px_lvl_v = px_ref[:, 1] * scale_ref
-
-    A_ref_cur = inv2x2(A_cur_ref)
-    A_ref_cur = jnp.where(jnp.isfinite(A_ref_cur), A_ref_cur, 0.0)
-
-    au, av = clip_anchor(px_lvl_u, px_lvl_v, WARP_WIN, 0, h, w)
-    windows = extract_windows(ref_img, au, av, WARP_WIN)
-
-    # patch grid in cur-level pixels, scaled to the search level
-    g = jnp.arange(BORD, dtype=jnp.float32) - HALF_BORD
-    gx, gy = jnp.meshgrid(g, g)  # gy rows, gx cols
-    pts = jnp.stack([gx.reshape(-1), gy.reshape(-1)], axis=0)  # (2, M)
-    scale_s = (2.0 ** search_level.astype(jnp.float32))[:, None, None]
-    src = jnp.einsum("nij,jm->nim", A_ref_cur, pts) * scale_s
-    pu = src[:, 0, :] + px_lvl_u[:, None] - au[:, None].astype(jnp.float32)
-    pv = src[:, 1, :] + px_lvl_v[:, None] - av[:, None].astype(jnp.float32)
-    vals = bilinear_scatter_in_windows(windows, pu, pv)
-    return jnp.where(valid[:, None], vals, 0.0).reshape(n, BORD, BORD)
+    delta = jnp.clip(search_level - host_level, 0, max_mip_delta)
+    win_sel = host_win
+    for d in range(1, max_mip_delta + 1):
+        k = 1 << d
+        win_sel = jnp.where(
+            (delta == d)[:, None, None], _box_blur_window(host_win, k), win_sel
+        )
+    # top-left-anchored box of width k has its support centred +(k-1)/2 px
+    # from the sample point — the same offset the plain u_l = u_0/2^l level
+    # convention used throughout gives the current pyramid, so both sides
+    # shift together and the ZMNCC peak stays put.
+    return bilinear_scatter_in_windows(win_sel, hu, hv).reshape(n, BORD, BORD)
 
 
 @functools.partial(jax.jit, static_argnames=("win", "n_levels"))

@@ -184,12 +184,23 @@ def run_local_ba(handler, center) -> dict | None:
     n_iter = cfg.loba_num_iter
     if len(handler.kfs.frames) <= 5:
         n_iter = 30
-    out = local_bundle_adjustment(
-        jnp.asarray(T_kf), jnp.asarray(free), jnp.asarray(idist),
-        jnp.asarray(pvalid), obs, n_kf=K, n_pts=P, n_iter=n_iter,
-        focal=float(handler.cam.focal_mean),
-        strip_px=float(cfg.loba_thresh),
-    )
+    if cfg.distributed_ba:
+        from hso_tpu.ba.distributed import distributed_bundle_adjustment
+
+        out = distributed_bundle_adjustment(
+            jnp.asarray(T_kf), jnp.asarray(free), jnp.asarray(idist),
+            jnp.asarray(pvalid), obs, n_kf=K, n_pts=P, n_iter=n_iter,
+            focal=float(handler.cam.focal_mean),
+            strip_px=float(cfg.loba_thresh),
+            n_devices=cfg.ba_n_devices,
+        )
+    else:
+        out = local_bundle_adjustment(
+            jnp.asarray(T_kf), jnp.asarray(free), jnp.asarray(idist),
+            jnp.asarray(pvalid), obs, n_kf=K, n_pts=P, n_iter=n_iter,
+            focal=float(handler.cam.focal_mean),
+            strip_px=float(cfg.loba_thresh),
+        )
 
     # ---- writeback ----
     T_new = np.asarray(out["T_kf"], np.float64)

@@ -88,6 +88,7 @@ class FrameHandler:
         self.cfg = cfg or Config()
         self.points = PointTable(self.cfg.n_points_ba_max * 2)
         self.kfs = KeyframeWindow(k_all_max=self.cfg.max_n_kfs, recent=SEED_RING)
+        self.points.kfs = self.kfs
         self.seeds = empty_seeds(self.cfg.n_seeds_max)
         self.seed_ring = np.full(SEED_RING, -1, np.int32)  # ring slot → kf idx
         self.batch_counter = 0
@@ -367,6 +368,7 @@ class FrameHandler:
         tracker = make_coarse_tracker(
             self.cam, max_level=cfg.klt_max_level, min_level=cfg.klt_min_level + 1,
             n_iter=cfg.coarse_n_iter, inverse=inverse,
+            pattern_offset=cfg.coarse_pattern_offset,
         )
         a_init = frame.intensity_mean / max(last.intensity_mean, 1e-6)
         with self._t("sparse_img_align"):
@@ -718,9 +720,12 @@ class FrameHandler:
         pts.patch_anchor[pid] = anchors[idxs]
 
     def _need_new_kf(self, frame: Frame, distance_mean: float) -> bool:
+        # min 3 frames between keyframes (frame_handler_mono.cpp:430; the
+        # reference's second gate `< min(3, 0.8·nMeanConvergeFrame_)` at :448
+        # is inert — min(3, ·) ≤ 3 can never exceed a counter already ≥ 3 —
+        # so it is not reproduced here.  The converge statistic's LIVE effect
+        # is the seed-activation view threshold, see _harvest_seeds)
         if self.regular_counter < 3:
-            return False
-        if self.regular_counter < min(3, int(self.mean_converge_frames * 0.8)):
             return False
         last_kf = self.kfs.last()
         o = last_kf.obs
@@ -784,9 +789,12 @@ class FrameHandler:
 
     def _harvest_seeds(self) -> int:
         seeds_before = self.seeds
+        # adaptive activation threshold from the convergence-rate statistic
+        # (nMeanConvergeFrame_, depth_filter.cpp:772-776)
+        min_act = float(np.clip(0.7 * self.mean_converge_frames, 3.0, 8.0))
         self.seeds, conv, snap, stale = harvest_and_prune(
             self.seeds, self.batch_counter, jnp.asarray(self._ring_poses()),
-            self.cfg.max_seed_kf_batches,
+            self.cfg.max_seed_kf_batches, min_act, float(self.cam.focal_mean),
         )
         conv = np.asarray(conv)
         stale = np.asarray(stale)
@@ -870,13 +878,22 @@ class FrameHandler:
         self._backfill_new_seeds(frame)
 
     def _backfill_new_seeds(self, frame: Frame) -> None:
-        """Sweep the just-created seed batch against retained pre-frames —
-        the mapping thread's idle-time backfill
-        (``observeDepthWithPreviousFrameOnce``, depth_filter.cpp:677-726),
-        done synchronously right at seed creation: pre-frames predate the
-        host keyframe, so they hand new seeds immediate parallax."""
+        """Sweep seeds against retained pre-frames — the mapping thread's
+        idle-time backfill (``observeDepthWithPreviousFrameOnce``,
+        depth_filter.cpp:677-726), done synchronously at keyframe creation.
+
+        Two seed classes get the sweep: the just-created batch (pre-frames
+        predate the host keyframe → immediate parallax), and older seeds
+        that have never fused a single measurement (every live seed already
+        sweeps every incoming frame once — the reference backfills
+        continuously because its mapping thread DROPS frames under load,
+        which the synchronous design never does — so a zero-update seed is
+        exactly one whose attempts all failed; retrying those frames cannot
+        double-fuse, while seeds with successes must be excluded or a
+        pre-frame they already fused would be counted twice)."""
         new_mask = (
-            self.seeds["batch_id"] == self.batch_counter
+            (self.seeds["batch_id"] == self.batch_counter)
+            | (self.seeds["n_updates"] < 0.5)
         ) & self.seeds["valid"]
         ring_T = jnp.asarray(self._ring_poses())
         ring_exp = jnp.asarray(
@@ -934,6 +951,7 @@ class FrameHandler:
         cfg = self.cfg
         self.points = PointTable(cfg.n_points_ba_max * 2)
         self.kfs = KeyframeWindow(k_all_max=cfg.max_n_kfs, recent=SEED_RING)
+        self.points.kfs = self.kfs
         self.seeds = empty_seeds(cfg.n_seeds_max)
         self.seed_ring = np.full(SEED_RING, -1, np.int32)
         self.batch_counter = 0

@@ -6,7 +6,11 @@ from scipy.ndimage import map_coordinates
 from hso_tpu.cameras import PinholeCamera
 from hso_tpu.math import se3np
 from hso_tpu.ops.align import align1d, align2d, ncc
-from hso_tpu.ops.warp import best_search_level, warp_matrices, warp_patches_border
+from hso_tpu.ops.warp import (
+    best_search_level,
+    warp_from_stored_windows,
+    warp_matrices,
+)
 from hso_tpu.utils.synthetic import PlaneScene
 
 
@@ -114,9 +118,18 @@ def test_warp_identity_recovers_patch():
     np.testing.assert_allclose(np.asarray(px_cur), px, atol=1e-3)
     lvl = best_search_level(A, 2)
     assert np.all(np.asarray(lvl) == 0)
-    patches = warp_patches_border(
-        jnp.asarray(img), jnp.asarray(px, jnp.float32), 0, A, lvl,
-        jnp.ones(n, bool),
+    # production path: memoized host window → warped bordered patch
+    from hso_tpu.math.linalg_small import inv2x2
+    from hso_tpu.ops.gatherless import clip_anchor, extract_windows
+
+    au, av = clip_anchor(
+        jnp.asarray(px[:, 0], jnp.float32), jnp.asarray(px[:, 1], jnp.float32),
+        24, 0, img.shape[0], img.shape[1],
+    )
+    wins = extract_windows(jnp.asarray(img), au, av, 24)
+    patches = warp_from_stored_windows(
+        wins, jnp.stack([au, av], -1), jnp.asarray(px, jnp.float32),
+        jnp.zeros(n, jnp.int32), inv2x2(A), lvl,
     )
     ref = ref_border_patches(img, px)
     np.testing.assert_allclose(np.asarray(patches), ref, atol=0.1)

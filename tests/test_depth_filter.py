@@ -159,3 +159,56 @@ def test_no_update_without_parallax(setup):
     valid = np.asarray(seeds["valid"])
     # variance can only shrink slightly; mean must not run away
     assert np.abs(mu1[valid] - mu0[valid]).max() < 0.2
+
+
+def test_activation_rejects_inconsistent_seeds():
+    """Mean-shift re-verification at harvest (activatePoint's distMean gate,
+    depth_filter.cpp:820-835): converged seeds whose stored matches disagree
+    with the converged depth (repetitive-texture mismatches) must be REJECTED
+    — erased without becoming landmarks — while consistent seeds activate."""
+    cam_f = 400.0
+    s = empty_seeds(64)
+    n = 16
+    rng = np.random.default_rng(3)
+    f = np.concatenate([rng.normal(0, 0.15, (n, 2)), np.ones((n, 1))], -1)
+    f /= np.linalg.norm(f, axis=-1, keepdims=True)
+    mu = np.full(n, 0.5, np.float32)
+
+    host_T = jnp.asarray(np.stack([se3np.identity()] * 4).astype(np.float32))
+    views = [se3np.exp(np.r_[0.15 * (k + 1), 0.05 * k, 0.0, 0, 0, 0])
+             for k in range(4)]
+    p_world = f / mu[:, None]
+
+    obs_uv = np.zeros((n, 8, 2), np.float32)
+    obs_T = np.zeros((n, 8, 3, 4), np.float32)
+    obs_valid = np.zeros((n, 8), bool)
+    for k, T in enumerate(views):
+        p_v = se3np.apply(T, p_world)
+        uv = p_v[:, :2] / p_v[:, 2:3]
+        # rows 8..15: corrupt the matches by ~6 px (repetitive texture lock)
+        uv[8:] += rng.normal(0, 6.0 / cam_f, uv[8:].shape)
+        obs_uv[:, k] = uv
+        obs_T[:, k] = T
+        obs_valid[:, k] = True
+
+    upd = dict(s)
+    idx = jnp.arange(n)
+    for key, val in (
+        ("valid", np.ones(n, bool)), ("host", np.zeros(n, np.int32)),
+        ("f", f.astype(np.float32)), ("mu", mu),
+        ("sigma2", np.full(n, 1e-6, np.float32)),
+        ("z_range", np.ones(n, np.float32)),
+        ("converge_thresh", np.full(n, 100.0, np.float32)),
+        ("batch_id", np.ones(n, np.int32)),
+        ("obs_uv", obs_uv), ("obs_T", obs_T), ("obs_valid", obs_valid),
+        ("obs_count", np.full(n, 4, np.int32)),
+    ):
+        upd[key] = s[key].at[idx].set(jnp.asarray(val))
+
+    out, conv, snap, stale = harvest_and_prune(
+        upd, 1, host_T, 3, 3.0, cam_f)
+    conv = np.asarray(conv)[:n]
+    stale = np.asarray(stale)[:n]
+    assert conv[:8].all(), conv
+    assert not conv[8:].any(), conv
+    assert stale[8:].all(), stale  # rejected → folded into stale (temp dies)

@@ -95,3 +95,67 @@ def test_shard_problem_roundtrip(mesh):
     want = list(zip(obs["point"][obs["valid"]].tolist(),
                     obs["meas"][obs["valid"]][:, 0].tolist()))
     assert sorted(got) == sorted(want)
+
+
+def test_drop_in_wrapper_matches_local(mesh):
+    """distributed_bundle_adjustment presents local_bundle_adjustment's
+    interface and reaches the same optimum on the same problem."""
+    from hso_tpu.ba.distributed import distributed_bundle_adjustment
+
+    prob = make_ba_problem(noise_px=0.3, seed=5, E=2048)
+    kw = dict(n_kf=prob["K"], n_pts=prob["P"], n_iter=12, focal=FOCAL)
+    ref = local_bundle_adjustment(
+        prob["T_kf"], prob["free"], prob["idist"], prob["point_valid"],
+        prob["obs"], **kw)
+    out = distributed_bundle_adjustment(
+        prob["T_kf"], prob["free"], prob["idist"], prob["point_valid"],
+        prob["obs"], n_devices=8, **kw)
+    np.testing.assert_allclose(
+        float(out["chi2_final"]), float(ref["chi2_final"]), rtol=0.1, atol=1e-5)
+    pv = np.asarray(prob["point_valid"])
+    np.testing.assert_allclose(
+        np.asarray(out["idist"])[pv], np.asarray(ref["idist"])[pv],
+        rtol=0.05, atol=1e-3)
+    # inlier masks agree almost everywhere
+    agree = np.asarray(out["obs_inlier"]) == np.asarray(ref["obs_inlier"])
+    assert agree.mean() > 0.98
+
+
+def test_pipeline_with_distributed_ba(mesh):
+    """Live-pipeline routing (Config.distributed_ba): a short synthetic
+    sequence tracked with the flag ON stays within tolerance of the
+    single-device run (VERDICT r2 item 4)."""
+    from hso_tpu.cameras import PinholeCamera
+    from hso_tpu.config import Config
+    from hso_tpu.math import se3np
+    from hso_tpu.pipeline.frame_handler import FrameHandler
+    from hso_tpu.utils.synthetic import PlaneScene
+
+    cam = PinholeCamera(640, 480, 400.0, 400.0, 320.0, 240.0)
+    scene = PlaneScene(cam, z0=2.0, extent=4.0, seed=21)
+    poses = []
+    for k in range(22):
+        t = k / 21.0
+        xi = np.r_[0.7 * t, 0.15 * np.sin(2.5 * t), 0.1 * t,
+                   0.03 * np.sin(3 * t), -0.07 * t, 0.02 * np.sin(2 * t)]
+        poses.append(se3np.exp(xi))
+    imgs = [scene.render(T) for T in poses]
+
+    def run(flag):
+        vo = FrameHandler(cam, Config(distributed_ba=flag))
+        for k, img in enumerate(imgs):
+            vo.add_image(img, ts=float(k))
+        assert vo.stage == "default"
+        return {int(ts): T for ts, T in vo.trajectory}
+
+    tr_local = run(False)
+    tr_dist = run(True)
+    common = sorted(set(tr_local) & set(tr_dist))
+    assert len(common) >= 15
+    c_l = np.stack([se3np.translation(se3np.inv(tr_local[f])) for f in common])
+    c_d = np.stack([se3np.translation(se3np.inv(tr_dist[f])) for f in common])
+    # same gauge (both anchored at the first KF) — compare directly, scaled
+    # by trajectory length
+    path = np.linalg.norm(np.diff(c_l, axis=0), axis=-1).sum() + 1e-9
+    dev = np.linalg.norm(c_l - c_d, axis=-1).max() / path
+    assert dev < 0.05, dev
