@@ -18,15 +18,31 @@ Re-designs ``ba::LocalBundleAdjustment`` + the custom g2o types
   * after the solve, observations are re-tested and stripped at 2.0 px
     (corners) / 1.2 px (edgelets).
 
-Shapes are static: K keyframe slots, P point slots, E observation slots with
-validity masks.  The per-iteration reduced-system build
-(:func:`build_reduced_system`) is a pure function of the observation arrays —
-the multi-host distributed BA shards points/observations across devices and
-``psum``s its outputs (see ba/distributed.py).
+TPU-native observation layout: a **dense (P, K) grid** — each windowed point
+is observed at most once per windowed keyframe, so observations live at their
+(point-slot, keyframe-slot) cell with a validity mask.  Every Hessian
+assembly reduction is then a dense ``einsum`` over the grid — zero
+scatter/``segment_sum`` ops (TPU scatters serialize; the v1 E-list layout
+spent ~40 ms/solve in them).  Hosts are a per-point column (``host`` (P,)),
+relative poses come from a (K, K) pair table, and the host-side one-hot
+``M_h`` (P, K) routes host-block contributions with matmuls.
+
+Shapes are static: K keyframe slots, P point slots.  The per-iteration
+reduced-system build (:func:`build_reduced_system`) is a pure sum over the
+grid — the multi-host distributed BA shards the P axis across devices in
+contiguous blocks and ``psum``s only the (6K, 6K) camera system
+(see ba/distributed.py).
 
 Jacobians use this module's own convention (tangent [rho, phi], update
 T ← exp(δ)·T) and are verified against ``jax.jacfwd`` in the tests rather
 than transcribed from g2o.
+
+Observation dict (all leading dims (P, K) unless noted):
+  ``meas`` (P,K,2) unit-plane measurement in the target frame
+  ``grad`` (P,K,2) edgelet normal (unit, target frame)
+  ``is_edgelet`` (P,K) bool     ``level`` (P,K) int
+  ``valid`` (P,K) bool — False for the host column and empty cells
+  ``f_host`` (P,3) host-frame unit bearing    ``host`` (P,) int keyframe slot
 """
 
 from __future__ import annotations
@@ -37,184 +53,212 @@ import jax
 import jax.numpy as jnp
 
 from hso_tpu.math import se3
-from hso_tpu.math.robust import MAD_NORMALIZER, masked_median
+from hso_tpu.math.robust import MAD_NORMALIZER, masked_median_bisect
+
+OBS_KEYS = ("meas", "grad", "is_edgelet", "level", "valid", "f_host", "host")
 
 
-def _project2d(p):
-    z = jnp.where(jnp.abs(p[..., 2]) < 1e-12, 1e-12, p[..., 2])
-    return p[..., :2] / z[..., None]
-
-
-def _dproj(p):
-    """d project2d / d p: (..., 2, 3)."""
-    x, y = p[..., 0], p[..., 1]
-    z = jnp.where(jnp.abs(p[..., 2]) < 1e-12, 1e-12, p[..., 2])
-    zi = 1.0 / z
-    zi2 = zi * zi
-    zero = jnp.zeros_like(x)
-    r0 = jnp.stack([zi, zero, -x * zi2], axis=-1)
-    r1 = jnp.stack([zero, zi, -y * zi2], axis=-1)
-    return jnp.stack([r0, r1], axis=-2)
-
-
-def _hat(v):
-    x, y, z = v[..., 0], v[..., 1], v[..., 2]
-    zero = jnp.zeros_like(x)
-    return jnp.stack(
-        [
-            jnp.stack([zero, -z, y], axis=-1),
-            jnp.stack([z, zero, -x], axis=-1),
-            jnp.stack([-y, x, zero], axis=-1),
-        ],
-        axis=-2,
-    )
+def host_onehot(host, n_kf: int):
+    """(P, K) float one-hot of each point's host keyframe slot."""
+    return (host[:, None] == jnp.arange(n_kf)[None, :]).astype(jnp.float32)
 
 
 def residuals_and_jacobians(T_kf, idist, obs):
-    """Per-observation residuals and analytic Jacobians.
+    """Per-cell residuals and analytic Jacobians on the dense (P, K) grid.
 
     T_kf  : (K, 3, 4) world→kf poses
     idist : (P,) inverse distances
-    obs   : dict with (E,) arrays — point, target, host, f_host (E,3),
-            meas (E,2), grad (E,2), is_edgelet, level, valid
+    obs   : dense observation dict (module docstring)
 
-    Returns r (E,2) (edgelet residual in [:,0], [:,1]=0), J_rho (E,2),
-    J_host (E,2,6), J_target (E,2,6), sqrt_info (E,).
+    Returns r (P,K,2) (edgelet residual in [...,0], [...,1]=0), J_rho (P,K,2),
+    J_host (P,K,2,6), J_target (P,K,2,6), sqrt_info (P,K).
     (Edgelet rows are pre-projected onto the normal.)
+
+    All small contractions are written in explicit broadcast-multiply form:
+    einsums over (3,)/(6,) axes lower to per-cell micro ``dot_general``s on
+    TPU (measured 3 ms/linearization at P·K = 32k cells); the elementwise
+    form fuses into plain VPU code (~10×).  The unit-plane projection
+    Jacobian A = (1/z)·[[1,0,-u],[0,1,-v]] is folded in algebraically:
+    -A·M has rows -(M₀ - u·M₂)/z and -(M₁ - v·M₂)/z.
     """
-    p_idx = obs["point"]
-    t_idx = obs["target"]
-    h_idx = obs["host"]
-    fH = obs["f_host"]
-    rho = idist[p_idx]
+    fH = obs["f_host"]                                   # (P,3)
+    rho = idist
     rho_safe = jnp.where(jnp.abs(rho) < 1e-10, 1e-10, rho)
 
-    T_t = T_kf[t_idx]
-    T_h = T_kf[h_idx]
-    T_th = se3.mul(T_t, se3.inv(T_h))
-    q = fH / rho_safe[:, None]                       # host-frame point
-    pT = se3.apply(T_th, q)                          # target-frame point
-    proj = _project2d(pT)
+    # (K,K,3,4) pair table T_th = T_t · T_h⁻¹, then pick rows by host
+    # (one (P,K)·(K·12) matmul — MXU-shaped, unlike per-cell gathers)
+    T_inv = se3.inv(T_kf)
+    T_pairs = se3.mul(T_kf[None, :], jnp.broadcast_to(
+        T_inv[:, None], (T_kf.shape[0],) * 2 + (3, 4)))   # [h, t]
+    Mh = host_onehot(obs["host"], T_kf.shape[0])
+    T_th = jnp.einsum("ph,htij->ptij", Mh, T_pairs)       # (P,K,3,4)
 
-    A = _dproj(pT)                                   # (E,2,3)
+    q = fH / rho_safe[:, None]                            # (P,3) host point
     R_th = T_th[..., :3, :3]
-    # d pT / d rho = R_th · (-q / rho)
-    dpT_drho = jnp.einsum("eij,ej->ei", R_th, -q / rho_safe[:, None])
-    # d pT / d delta_target = [I | -pT^]
-    dT_t = jnp.concatenate(
-        [jnp.broadcast_to(jnp.eye(3), pT.shape[:-1] + (3, 3)), -_hat(pT)], axis=-1
-    )
-    # d pT / d delta_host = -R_th · [I | -q^]
-    dT_h = -jnp.einsum(
-        "eij,ejk->eik",
-        R_th,
-        jnp.concatenate(
-            [jnp.broadcast_to(jnp.eye(3), q.shape[:-1] + (3, 3)), -_hat(q)], axis=-1
-        ),
-    )
+    t_th = T_th[..., :3, 3]
+    pT = jnp.sum(R_th * q[:, None, None, :], -1) + t_th   # (P,K,3)
+    px_, py_, pz_ = pT[..., 0], pT[..., 1], pT[..., 2]
+    z = jnp.where(jnp.abs(pz_) < 1e-12, 1e-12, pz_)
+    zi = 1.0 / z
+    u = px_ * zi
+    v = py_ * zi
+    proj = jnp.stack([u, v], axis=-1)
 
-    # residual r = meas - proj ; d r/d x = -A · d pT/d x
-    r2 = obs["meas"] - proj                          # (E,2)
-    J_rho2 = -jnp.einsum("eij,ej->ei", A, dpT_drho)  # (E,2)
-    J_h2 = -jnp.einsum("eij,ejk->eik", A, dT_h)      # (E,2,6)
-    J_t2 = -jnp.einsum("eij,ejk->eik", A, dT_t)
+    def neg_A_dot(m0, m1, m2):
+        """rows of -A·M from M's three rows (each (..., C))."""
+        return jnp.stack(
+            [-(m0 - u[..., None] * m2) * zi[..., None],
+             -(m1 - v[..., None] * m2) * zi[..., None]], axis=-2)
+
+    # d pT / d rho = R_th · (-q / rho)
+    dpT_drho = jnp.sum(R_th * (-q / rho_safe[:, None])[:, None, None, :], -1)
+    J_rho2 = jnp.stack(
+        [-(dpT_drho[..., 0] - u * dpT_drho[..., 2]) * zi,
+         -(dpT_drho[..., 1] - v * dpT_drho[..., 2]) * zi], axis=-1)  # (P,K,2)
+
+    # d pT / d delta_target = [I | -pT^]; rows written out
+    one = jnp.ones_like(px_)
+    zero = jnp.zeros_like(px_)
+    tr0 = jnp.stack([one, zero, zero, zero, pz_, -py_], axis=-1)
+    tr1 = jnp.stack([zero, one, zero, -pz_, zero, px_], axis=-1)
+    tr2 = jnp.stack([zero, zero, one, py_, -px_, zero], axis=-1)
+    J_t2 = neg_A_dot(tr0, tr1, tr2)                       # (P,K,2,6)
+
+    # d pT / d delta_host = -R_th·[I | -q^]; B = R_th·[I | -q^] has
+    # columns [R_th | R_th·(-q^)], each a broadcast mul-sum over j
+    qx, qy, qz = q[..., 0], q[..., 1], q[..., 2]
+    zq = jnp.zeros_like(qx)
+    nhq = jnp.stack(                                      # -hat(q): (P,3,3)
+        [jnp.stack([zq, qz, -qy], -1),
+         jnp.stack([-qz, zq, qx], -1),
+         jnp.stack([qy, -qx, zq], -1)], axis=-2)
+    RB = jnp.sum(R_th[..., :, :, None] * nhq[:, None, None, :, :], axis=-2)
+    B = jnp.concatenate([R_th, RB], axis=-1)              # (P,K,3,6)
+    # -A·(-B) = A·B → reuse neg_A_dot on -B's rows
+    J_h2 = neg_A_dot(-B[..., 0, :], -B[..., 1, :], -B[..., 2, :])
+
+    # residual r = meas - proj
+    r2 = obs["meas"] - proj                               # (P,K,2)
 
     # edgelets: project residual & Jacobians onto the normal, scalar row 0
     g = obs["grad"]
-    is_e = obs["is_edgelet"][:, None]
+    is_e = obs["is_edgelet"][..., None]
     r_e = jnp.sum(g * r2, axis=-1, keepdims=True)
     r = jnp.where(is_e, jnp.concatenate([r_e, jnp.zeros_like(r_e)], -1), r2)
     Je_rho = jnp.sum(g * J_rho2, axis=-1, keepdims=True)
-    J_rho = jnp.where(is_e, jnp.concatenate([Je_rho, jnp.zeros_like(Je_rho)], -1), J_rho2)
-    Je_h = jnp.einsum("ei,eik->ek", g, J_h2)[:, None, :]
-    J_h = jnp.where(is_e[..., None], jnp.concatenate([Je_h, jnp.zeros_like(Je_h)], 1), J_h2)
-    Je_t = jnp.einsum("ei,eik->ek", g, J_t2)[:, None, :]
-    J_t = jnp.where(is_e[..., None], jnp.concatenate([Je_t, jnp.zeros_like(Je_t)], 1), J_t2)
+    J_rho = jnp.where(
+        is_e, jnp.concatenate([Je_rho, jnp.zeros_like(Je_rho)], -1), J_rho2)
+    Je_h = jnp.sum(g[..., None] * J_h2, axis=-2)[..., None, :]
+    J_h = jnp.where(is_e[..., None],
+                    jnp.concatenate([Je_h, jnp.zeros_like(Je_h)], -2), J_h2)
+    Je_t = jnp.sum(g[..., None] * J_t2, axis=-2)[..., None, :]
+    J_t = jnp.where(is_e[..., None],
+                    jnp.concatenate([Je_t, jnp.zeros_like(Je_t)], -2), J_t2)
 
     sqrt_info = 1.0 / (1 << obs["level"]).astype(jnp.float32)
     return r, J_rho, J_h, J_t, sqrt_info
 
 
-def robust_weights(r, is_edgelet, valid, sqrt_info, delta_corner, delta_edge):
-    """Huber IRLS weights on the information-scaled residual norm."""
-    rn = jnp.where(
-        is_edgelet, jnp.abs(r[:, 0]), jnp.linalg.norm(r, axis=-1)
+def residual_norms(r, obs, sqrt_info):
+    """Information-scaled residual norms (P,K): |r|·s for corners, |r₀|·s
+    for edgelets (their residual is already scalar in channel 0)."""
+    return jnp.where(
+        obs["is_edgelet"], jnp.abs(r[..., 0]), jnp.linalg.norm(r, axis=-1)
     ) * sqrt_info
-    delta = jnp.where(is_edgelet, delta_edge, delta_corner)
-    w = jnp.where(rn <= delta, 1.0, delta / jnp.maximum(rn, 1e-12))
-    return jnp.where(valid, w, 0.0), rn
 
 
 def huber_chi2(rn, is_edgelet, valid, delta_corner, delta_edge):
     delta = jnp.where(is_edgelet, delta_edge, delta_corner)
-    chi = jnp.where(
-        rn <= delta, rn * rn, 2.0 * delta * rn - delta * delta
-    )
+    chi = jnp.where(rn <= delta, rn * rn, 2.0 * delta * rn - delta * delta)
     return jnp.sum(jnp.where(valid, chi, 0.0))
+
+
+def compute_deltas(T_kf, idist, obs, focal: float):
+    """Huber deltas per class from the median of initial residuals
+    (bundle_adjustment.cpp:661-680)."""
+    r0, _, _, _, sqrt_info = residuals_and_jacobians(T_kf, idist, obs)
+    rn0 = residual_norms(r0, obs, sqrt_info).reshape(-1)
+    is_e = obs["is_edgelet"].reshape(-1)
+    valid = obs["valid"].reshape(-1)
+    m_c = valid & ~is_e
+    m_e = valid & is_e
+    med_c = masked_median_bisect(jnp.where(m_c, rn0, jnp.inf), m_c)
+    med_e = masked_median_bisect(jnp.where(m_e, rn0, jnp.inf), m_e)
+    d_c = jnp.where(jnp.sum(m_c) > 0, MAD_NORMALIZER * med_c, 1.0 / focal)
+    d_e = jnp.where(jnp.sum(m_e) > 0, MAD_NORMALIZER * med_e, 0.5 / focal)
+    return jnp.maximum(d_c, 1e-7), jnp.maximum(d_e, 1e-7)
 
 
 def build_reduced_system(T_kf, idist, obs, deltas, n_kf: int, n_pts: int):
     """One Gauss-Newton linearization with analytic landmark elimination.
 
-    Returns (H_red (6K,6K), g_red (6K,), H_pp (P,), g_p (P,), W (P,6K), chi2).
-    All outputs are *sums over observations* — in the distributed solver each
-    shard computes them on its slice of points/obs and they are psum-reduced.
+    Returns dict(H_cc (6K,6K), g_c (6K,), H_pp (P,), g_p (P,), W (P,6K),
+    chi2, rn (P,K)).  All outputs are *sums over observation cells* — in the
+    distributed solver each shard computes them on its contiguous point-block
+    slice and the camera system is psum-reduced.  Zero scatters: the dense
+    grid makes every reduction an einsum.
     """
     K = n_kf
-    P = n_pts
     r, J_rho, J_h, J_t, sqrt_info = residuals_and_jacobians(T_kf, idist, obs)
-    w, rn = robust_weights(r, obs["is_edgelet"], obs["valid"], sqrt_info, *deltas)
-    chi2 = huber_chi2(rn, obs["is_edgelet"], obs["valid"], *deltas)
+    rn = residual_norms(r, obs, sqrt_info)
+    delta_c, delta_e = deltas
+    delta = jnp.where(obs["is_edgelet"], delta_e, delta_c)
+    w = jnp.where(rn <= delta, 1.0, delta / jnp.maximum(rn, 1e-12))
+    w = jnp.where(obs["valid"], w, 0.0)
+    chi2 = huber_chi2(rn, obs["is_edgelet"], obs["valid"], delta_c, delta_e)
 
-    info_w = w * sqrt_info * sqrt_info                # information × robust wgt
+    iw = w * sqrt_info * sqrt_info                        # (P,K)
+    Mh = host_onehot(obs["host"], K)
 
-    p_idx = obs["point"]
-    t_idx = obs["target"]
-    h_idx = obs["host"]
+    # Everything below is elementwise broadcast + big reductions/matmuls —
+    # no per-cell micro dot_generals (see residuals_and_jacobians docstring).
+    wr = r * iw[..., None]                                # (P,K,2)
+    Jr_w = J_rho * iw[..., None]
 
-    # ---- landmark blocks (scalar) ----
-    Hpp_e = info_w * jnp.sum(J_rho * J_rho, axis=-1)
-    gp_e = -info_w * jnp.sum(J_rho * r, axis=-1)
-    H_pp = jax.ops.segment_sum(Hpp_e, p_idx, num_segments=P)
-    g_p = jax.ops.segment_sum(gp_e, p_idx, num_segments=P)
+    # ---- landmark blocks (scalar per point) ----
+    H_pp = jnp.sum(J_rho * Jr_w, axis=(1, 2))
+    g_p = -jnp.sum(Jr_w * r, axis=(1, 2))
 
-    # ---- camera blocks ----
-    # per-obs 6x6 contributions for (t,t), (h,h), (t,h), (h,t)
-    def blk(Ja, Jb):
-        return jnp.einsum("eri,erj,e->eij", Ja, Jb, info_w)
+    # ---- point-camera coupling W[p] ∈ R^{6K}: target part lands at its own
+    # column, host part at the point's host column ----
+    Wt = jnp.sum(J_t * Jr_w[..., None], axis=2)           # (P,K,6)
+    Wh = jnp.sum(J_h * Jr_w[..., None], axis=(1, 2))      # (P,6)
+    W = (Wt + Mh[..., None] * Wh[:, None, :]).reshape(-1, 6 * K)
 
-    pair_tt = t_idx * K + t_idx
-    pair_hh = h_idx * K + h_idx
-    pair_th = t_idx * K + h_idx
-    pair_ht = h_idx * K + t_idx
-    blocks = jnp.concatenate([blk(J_t, J_t), blk(J_h, J_h), blk(J_t, J_h), blk(J_h, J_t)])
-    pairs = jnp.concatenate([pair_tt, pair_hh, pair_th, pair_ht])
-    H_cc = jax.ops.segment_sum(blocks, pairs, num_segments=K * K)
-    H_cc = H_cc.reshape(K, K, 6, 6).transpose(0, 2, 1, 3).reshape(6 * K, 6 * K)
+    # ---- camera-camera blocks: (t,t) diagonal, (h,h) diagonal via Mh,
+    # (t,h)/(h,t) cross via Mh.  Per-cell 6×6 outer products are formed as
+    # one (P,K,6,6) broadcast (r unrolled), then grouped by host with a
+    # (K, P)·(P, ·) one-hot matmul — MXU-shaped ----
+    def outer66(Ja, Jb):
+        return (Ja[..., 0, :, None] * Jb[..., 0, None, :]
+                + Ja[..., 1, :, None] * Jb[..., 1, None, :]) * iw[..., None, None]
 
-    g_t = -jnp.einsum("eri,er,e->ei", J_t, r, info_w)
-    g_h = -jnp.einsum("eri,er,e->ei", J_h, r, info_w)
-    g_c = jax.ops.segment_sum(
-        jnp.concatenate([g_t, g_h]), jnp.concatenate([t_idx, h_idx]), num_segments=K
-    ).reshape(6 * K)
+    Htt = jnp.sum(outer66(J_t, J_t), axis=0)                  # (K,6,6)
+    Hhh_p = jnp.sum(outer66(J_h, J_h), axis=1)                # (P,6,6)
+    Hhh = jnp.einsum("ph,pij->hij", Mh, Hhh_p)                # (K,6,6)
+    Hth = jnp.einsum("ph,pkij->khij", Mh, outer66(J_t, J_h))  # (K,K,6,6) [t,h]
 
-    # ---- point-camera coupling W[p] ∈ R^{6K} ----
-    Wt = jnp.einsum("eri,er,e->ei", J_t, J_rho, info_w)   # (E,6)
-    Wh = jnp.einsum("eri,er,e->ei", J_h, J_rho, info_w)
-    W = jax.ops.segment_sum(
-        jnp.concatenate([Wt, Wh]),
-        jnp.concatenate([p_idx * K + t_idx, p_idx * K + h_idx]),
-        num_segments=P * K,
-    ).reshape(P, 6 * K)
+    eyeK = jnp.eye(K)
+    blocks = (
+        Htt[:, None] * eyeK[:, :, None, None]
+        + Hhh[:, None] * eyeK[:, :, None, None]
+        + Hth                                            # (t,h) block
+        + Hth.transpose(1, 0, 3, 2)                      # (h,t) = (t,h)ᵀ
+    )                                                     # (K,K,6,6)
+    H_cc = blocks.transpose(0, 2, 1, 3).reshape(6 * K, 6 * K)
 
-    return {"H_cc": H_cc, "g_c": g_c, "H_pp": H_pp, "g_p": g_p, "W": W, "chi2": chi2}
+    g_t = -jnp.sum(J_t * wr[..., None], axis=(0, 2))          # (K,6)
+    g_h_p = -jnp.sum(J_h * wr[..., None], axis=(1, 2))        # (P,6)
+    g_c = (g_t + jnp.einsum("ph,pi->hi", Mh, g_h_p)).reshape(6 * K)
+
+    return {"H_cc": H_cc, "g_c": g_c, "H_pp": H_pp, "g_p": g_p, "W": W,
+            "chi2": chi2, "rn": rn}
 
 
 def _schur_solve(sys, free_kf_mask, lam, n_kf: int):
     """Damped solve of the reduced camera system + back-substitution factors.
 
-    Returns (delta_c (6K,), solve-ready pieces for delta_p)."""
-    K = n_kf
+    Returns (delta_c (6K,), delta_p (P,))."""
     H_pp_d = sys["H_pp"] * (1.0 + lam) + 1e-12
     Hpp_inv = 1.0 / H_pp_d
     W = sys["W"]
@@ -250,7 +294,7 @@ def local_bundle_adjustment(
     free_kf,           # (K,) bool — False = held fixed
     idist,             # (P,)
     point_valid,       # (P,) bool
-    obs,               # dict of (E,) arrays (see residuals_and_jacobians)
+    obs,               # dense (P,K) observation dict (module docstring)
     n_kf: int,
     n_pts: int,
     n_iter: int = 10,
@@ -259,65 +303,49 @@ def local_bundle_adjustment(
                              # edgelets strip at 0.6× (ref 2.0/1.2 px)
 ):
     """Run windowed BA; returns dict(T_kf, idist, obs_inlier, chi2_init,
-    chi2_final, deltas)."""
+    chi2_final, deltas).
+
+    One linearization per LM iteration: the carried reduced system is reused
+    for the solve and the accept test compares against the freshly built
+    system at the trial state (n_iter + 1 builds total).
+    """
     T_kf = jnp.asarray(T_kf, jnp.float32)
     idist = jnp.asarray(idist, jnp.float32)
 
-    # ---- Huber deltas from initial residuals (bundle_adjustment.cpp:661-680) ----
-    r0, _, _, _, sqrt_info = residuals_and_jacobians(T_kf, idist, obs)
-    rn0 = jnp.where(
-        obs["is_edgelet"], jnp.abs(r0[:, 0]), jnp.linalg.norm(r0, axis=-1)
-    ) * sqrt_info
-    m_c = obs["valid"] & ~obs["is_edgelet"]
-    m_e = obs["valid"] & obs["is_edgelet"]
-    med_c = masked_median(jnp.where(m_c, rn0, jnp.inf), m_c)
-    med_e = masked_median(jnp.where(m_e, rn0, jnp.inf), m_e)
-    n_c = jnp.sum(m_c.astype(jnp.int32))
-    n_e = jnp.sum(m_e.astype(jnp.int32))
-    delta_c = jnp.where(n_c > 0, MAD_NORMALIZER * med_c, 1.0 / focal)
-    delta_e = jnp.where(n_e > 0, MAD_NORMALIZER * med_e, 0.5 / focal)
-    delta_c = jnp.maximum(delta_c, 1e-7)
-    delta_e = jnp.maximum(delta_e, 1e-7)
-    deltas = (delta_c, delta_e)
-
+    deltas = compute_deltas(T_kf, idist, obs, focal)
     sys0 = build_reduced_system(T_kf, idist, obs, deltas, n_kf, n_pts)
     chi2_init = sys0["chi2"]
     lam0 = 1e-5 * jnp.maximum(jnp.max(jnp.diag(sys0["H_cc"])), 1.0)
 
     def body(i, carry):
-        T_c, id_c, lam, nu, chi2_c = carry
-        sys = build_reduced_system(T_c, id_c, obs, deltas, n_kf, n_pts)
-        dc, dp = _schur_solve(sys, free_kf, lam, n_kf)
+        T_c, id_c, lam, nu, sys_c = carry
+        dc, dp = _schur_solve(sys_c, free_kf, lam, n_kf)
         T_new, id_new = _apply(T_c, id_c, dc, dp, point_valid, n_kf)
         sys_new = build_reduced_system(T_new, id_new, obs, deltas, n_kf, n_pts)
-        chi2_new = sys_new["chi2"]
-        accept = chi2_new < sys["chi2"]
+        accept = sys_new["chi2"] < sys_c["chi2"]
         T_c = jnp.where(accept, T_new, T_c)
         id_c = jnp.where(accept, id_new, id_c)
+        sys_c = jax.tree.map(lambda a, b: jnp.where(accept, b, a), sys_c, sys_new)
         lam = jnp.where(accept, lam * 0.5, jnp.minimum(lam * nu, 1e7))
         nu = jnp.where(accept, 2.0, nu * 2.0)
-        chi2_c = jnp.where(accept, chi2_new, chi2_c)
-        return T_c, id_c, lam, nu, chi2_c
+        return T_c, id_c, lam, nu, sys_c
 
-    T_kf, idist, _, _, chi2_final = jax.lax.fori_loop(
-        0, n_iter, body, (T_kf, idist, lam0, jnp.float32(2.0), chi2_init)
+    T_kf, idist, _, _, sys_f = jax.lax.fori_loop(
+        0, n_iter, body, (T_kf, idist, lam0, jnp.float32(2.0), sys0)
     )
 
-    # ---- outlier stripping (bundle_adjustment.cpp:843-892) ----
-    r_f, _, _, _, sqrt_info = residuals_and_jacobians(T_kf, idist, obs)
-    rn_f = jnp.where(
-        obs["is_edgelet"], jnp.abs(r_f[:, 0]), jnp.linalg.norm(r_f, axis=-1)
-    ) * sqrt_info
+    # ---- outlier stripping (bundle_adjustment.cpp:843-892) — the carried
+    # system's rn is already at the final accepted state ----
     thresh = jnp.where(
         obs["is_edgelet"], 0.6 * strip_px / focal, strip_px / focal
     )
-    obs_inlier = obs["valid"] & (rn_f <= thresh)
+    obs_inlier = obs["valid"] & (sys_f["rn"] <= thresh)
 
     return {
         "T_kf": T_kf,
         "idist": idist,
         "obs_inlier": obs_inlier,
         "chi2_init": chi2_init,
-        "chi2_final": chi2_final,
+        "chi2_final": sys_f["chi2"],
         "deltas": deltas,
     }

@@ -44,7 +44,6 @@ class Config:
     # ---- static-shape capacities (TPU build only) ----
     n_fts_max: int = 384            #: feature-slot padding per frame (>= max_fts + margin)
     n_seeds_max: int = 1536         #: depth-filter seed slots
-    n_obs_max: int = 8192           #: BA observation slots
     n_kfs_window: int = 16          #: BA keyframe slots (free + fixed)
     n_points_ba_max: int = 2048     #: BA point slots
     epl_n_steps: int = 32           #: epipolar search samples per seed (ref: <=30 crop +pad)

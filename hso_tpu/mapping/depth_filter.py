@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from hso_tpu.math import se3
-from hso_tpu.ops.align import align1d, align_mixed, ncc
+from hso_tpu.ops.align import align_mixed, ncc
 from hso_tpu.ops.epipolar import epipolar_zmncc_search, triangulate_depth
 from hso_tpu.ops.gatherless import bilinear_scatter_in_windows, clip_anchor, extract_windows
 from hso_tpu.ops.warp import best_search_level, warp_matrices
@@ -282,17 +282,13 @@ def update_seeds(
     # refinement below.
     good = active & sr["ok"] & (sr["score_best"] > 0.5)
 
-    # KLT refinement along the epipolar direction, then a fused final pass
-    # (2D for corners, along-normal 1D for edgelets — one LM loop)
-    r1 = align1d(
-        None, sr["epl_dir"], ref_border, sr["px_best"],
-        valid=good, windows=windows, anchors=anchors, img_hw=img_hw,
-        n_iter=6,
-    )
+    # subpixel KLT refinement straight from the integer ZMNCC peak — 2D for
+    # corners, along-normal 1D for edgelets, one fused LM loop (the
+    # reference's doLineStereo likewise goes directly from the best epipolar
+    # sample to KLTLimited2D/1D, matcher.cpp:1004-1049)
     is_corner = seeds["species"] == 0
-    px_r1 = jnp.where(r1["converged"][:, None], r1["px"], sr["px_best"])
     rm = align_mixed(
-        ~is_corner, grad_cur, ref_border, px_r1,
+        ~is_corner, grad_cur, ref_border, sr["px_best"],
         valid=good, windows=windows, anchors=anchors, img_hw=img_hw,
     )
     px_ref_l = rm["px"]

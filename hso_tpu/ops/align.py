@@ -32,6 +32,21 @@ WIN = 24
 _HALF = PATCH // 2
 
 
+def _run_align_loop(body, init, n_iter: int):
+    """Run an alignment iteration body under ``lax.while_loop`` with a
+    global early exit once every candidate has converged or died (the
+    reference's per-feature iteration loops stop the same way; a fixed
+    ``fori_loop`` pays the worst case for the whole batch every frame)."""
+    def cond(c):
+        return (c[-1] < n_iter) & jnp.any(c[4])
+
+    def wbody(c):
+        return body(0, c[:-1]) + (c[-1] + 1,)
+
+    out = jax.lax.while_loop(cond, wbody, tuple(init) + (jnp.int32(0),))
+    return out[:-1]
+
+
 def _template_grads(ref_border: jnp.ndarray):
     """(N,10,10) bordered template → interior (N,8,8) value/dx/dy."""
     t = ref_border
@@ -120,7 +135,7 @@ def align2d(cur_img, ref_border, px_init, n_iter: int = 10, valid=None,
     init = (
         u0, v0, jnp.zeros((n,)), jnp.zeros((n,)), valid, jnp.zeros((n,), bool)
     )
-    u, v, mean_diff, chi2, _, conv = jax.lax.fori_loop(0, n_iter, body, init)
+    u, v, mean_diff, chi2, _, conv = _run_align_loop(body, init, n_iter)
     conv = conv & (chi2 <= 1000.0 * PATCH * PATCH) & valid
     final_patch, _, _ = _sample(windows, au, av, u, v)
     return {
@@ -182,7 +197,7 @@ def align1d(cur_img, direction, ref_border, px_init, n_iter: int = 10, valid=Non
     init = (
         u0, v0, jnp.zeros((n,)), jnp.zeros((n,)), valid, jnp.zeros((n,), bool)
     )
-    u, v, mean_diff, chi2, _, conv = jax.lax.fori_loop(0, n_iter, body, init)
+    u, v, mean_diff, chi2, _, conv = _run_align_loop(body, init, n_iter)
     conv = conv & (chi2 <= 1000.0 * PATCH * PATCH) & valid
     final_patch, _, _ = _sample(windows, au, av, u, v)
     return {
@@ -261,7 +276,7 @@ def align_mixed(is_edge, direction, ref_border, px_init, n_iter: int = 10,
         px_init[:, 0], px_init[:, 1], jnp.zeros((n,)), jnp.zeros((n,)),
         valid, jnp.zeros((n,), bool),
     )
-    u, v, mean_diff, chi2, _, conv = jax.lax.fori_loop(0, n_iter, body, init)
+    u, v, mean_diff, chi2, _, conv = _run_align_loop(body, init, n_iter)
     conv = conv & (chi2 <= 1000.0 * PATCH * PATCH) & valid
     final_patch, _, _ = _sample(windows, au, av, u, v)
     return {

@@ -45,24 +45,38 @@ def pack_level_windows(pyr, search_level, center_u_l, center_v_l, win: int,
 
     ``center_u_l/v_l`` are centres in each seed's OWN level coordinates.
     Returns (windows (S,win,win), (au, av), (h_l, w_l) per-seed image dims).
+
+    On TPU the per-level extract + select collapses into ONE fused Pallas
+    pass (each seed's level index picks the pyramid ref in-kernel,
+    :func:`hso_tpu.ops.window_pallas.pack_level_windows_tpu`); the XLA
+    fallback extracts per level and masks.
     """
+    from hso_tpu.ops.window_pallas import on_tpu, pack_level_windows_tpu
+
     s = search_level.shape[0]
-    windows = jnp.zeros((s, win, win), jnp.float32)
     au = jnp.zeros((s,), jnp.int32)
     av = jnp.zeros((s,), jnp.int32)
     hs = jnp.zeros((s,), jnp.int32)
     ws = jnp.zeros((s,), jnp.int32)
     for lvl in range(n_levels):
-        img = pyr[lvl]
-        h, w = img.shape
+        h, w = pyr[lvl].shape
         a_u, a_v = clip_anchor(center_u_l, center_v_l, win, 0, h, w)
-        w_lvl = extract_windows(img, a_u, a_v, win)
         sel = search_level == lvl
-        windows = jnp.where(sel[:, None, None], w_lvl, windows)
         au = jnp.where(sel, a_u, au)
         av = jnp.where(sel, a_v, av)
         hs = jnp.where(sel, h, hs)
         ws = jnp.where(sel, w, ws)
+
+    if on_tpu():
+        windows = pack_level_windows_tpu(pyr, search_level, au, av, win, n_levels)
+    else:
+        from hso_tpu.ops.gatherless import extract_windows_xla
+
+        windows = jnp.zeros((s, win, win), jnp.float32)
+        for lvl in range(n_levels):
+            w_lvl = extract_windows_xla(pyr[lvl], au, av, win)
+            sel = search_level == lvl
+            windows = jnp.where(sel[:, None, None], w_lvl, windows)
     return windows, (au, av), (hs, ws)
 
 
@@ -77,6 +91,21 @@ def _depthwise_corr(windows: jnp.ndarray, kernels: jnp.ndarray) -> jnp.ndarray:
         feature_group_count=s,
     )
     return out[0]
+
+
+def _box_sums(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """VALID k×k box sum of (S, E, E) → (S, E-k+1, E-k+1) as separable
+    shifted adds (a seed-grouped conv serializes on TPU; this fuses into
+    2k VPU adds)."""
+    e = x.shape[-1]
+    out_w = e - k + 1
+    acc = x[:, :, 0:out_w]
+    for dx in range(1, k):
+        acc = acc + x[:, :, dx:dx + out_w]
+    acc2 = acc[:, 0:out_w, :]
+    for dy in range(1, k):
+        acc2 = acc2 + acc[:, dy:dy + out_w, :]
+    return acc2
 
 
 @functools.partial(jax.jit, static_argnames=("n_steps",))
@@ -111,9 +140,8 @@ def epipolar_zmncc_search(
     n_line = jnp.minimum(n_line, n_steps - 1)
 
     # ---- dense ZMNCC over all patch positions ----
-    ones = jnp.ones((s, PATCH, PATCH), jnp.float32)
-    sum_t = _depthwise_corr(windows, ones)
-    sum_t2 = _depthwise_corr(windows * windows, ones)
+    sum_t = _box_sums(windows, PATCH)
+    sum_t2 = _box_sums(windows * windows, PATCH)
     corr = _depthwise_corr(windows, ref_patch)
     area = float(PATCH * PATCH)
     ref_mean = jnp.mean(ref_patch, axis=(1, 2))

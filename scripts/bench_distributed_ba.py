@@ -1,8 +1,8 @@
 """Weak-scaling benchmark of the distributed sliding-window BA.
 
 BASELINE target: ≥80% weak-scaling efficiency at ≥2 hosts for the
-point-block-sharded Schur BA (v2 layout: landmark blocks and their
-observation rows partitioned across the mesh, camera-camera Hessian psum
+point-block-sharded Schur BA (v3 layout: the dense (P, K) observation grid
+partitioned across the mesh along the point axis, camera-camera Hessian psum
 over ICI).  This harness keeps the per-device landmark/observation load
 constant while growing the mesh, and reports step time and efficiency per
 device count.
@@ -53,11 +53,11 @@ def main() -> None:
     from test_local_ba import FOCAL, make_ba_problem
 
     from hso_tpu.ba.distributed import (
-        compute_deltas,
         make_distributed_ba,
         shard_obs,
         shard_problem,
     )
+    from hso_tpu.ba.local_ba import compute_deltas
 
     devs = jax.devices()
     print(f"# backend={devs[0].platform} n_devices={len(devs)}", file=sys.stderr)
@@ -67,14 +67,13 @@ def main() -> None:
         if nd > len(devs):
             print(f"# skipping {nd} devices (have {len(devs)})", file=sys.stderr)
             continue
-        mesh = Mesh(np.array(devs[:nd]), axis_names=("obs",))
+        mesh = Mesh(np.array(devs[:nd]), axis_names=("pts",))
         # weak scaling: landmark count grows with the mesh, per-device block
         # constant; every point is observed in ~(kf-1) target frames
         n_pts = pts_per_dev * nd
-        cap_e = n_pts * n_kf
         prob = make_ba_problem(n_kf=n_kf, n_pts=n_pts, K=n_kf, P=n_pts,
-                               E=cap_e, noise_px=0.3, seed=7)
-        obs_s, idist_s, pv_s, p_local, n_dropped = shard_problem(
+                               noise_px=0.3, seed=7)
+        obs_s, idist_s, pv_s, p_local = shard_problem(
             prob["obs"], prob["idist"], prob["point_valid"], nd)
         deltas = compute_deltas(prob["T_kf"], prob["idist"], prob["obs"], FOCAL)
         step = make_distributed_ba(mesh, n_kf=prob["K"], n_pts_local=p_local,
@@ -106,8 +105,8 @@ def main() -> None:
         # physically impossible there; `overhead_efficiency` = t_1dev / t_dist
         # isolates what the partitioning + psum machinery costs, which IS
         # measurable on shared hardware.
-        mesh1 = Mesh(np.array(devs[:1]), axis_names=("obs",))
-        obs_s1, idist_s1, pv_s1, p_local1, _ = shard_problem(
+        mesh1 = Mesh(np.array(devs[:1]), axis_names=("pts",))
+        obs_s1, idist_s1, pv_s1, p_local1 = shard_problem(
             prob["obs"], prob["idist"], prob["point_valid"], 1)
         step1 = make_distributed_ba(mesh1, n_kf=prob["K"],
                                     n_pts_local=p_local1, n_iter=n_iter)
@@ -122,7 +121,7 @@ def main() -> None:
         n_obs = int(np.asarray(prob["obs"]["valid"]).sum())
         row = {
             "devices": nd, "pts_total": n_pts, "pts_per_dev": p_local,
-            "obs_total": n_obs, "obs_dropped": n_dropped,
+            "obs_total": n_obs,
             "step_ms": round(dt * 1e3, 3),
             "step_ms_1dev_same_problem": round(dt1 * 1e3, 3),
             "overhead_efficiency": round(dt1 / dt, 3),

@@ -16,6 +16,7 @@ Stages sum to approximately the full fused step; the residual is fusion win
 plus carry plumbing.
 """
 
+import functools
 import os
 import pickle
 import sys
@@ -232,7 +233,7 @@ def main():
     timeit("coarse_tracker", run_track, pyr_stack)
 
     # ---- stage 3: candidate selection + gathers ----
-    @jax.jit
+    @functools.partial(jax.jit, static_argnums=0)
     def run_select(n):
         def step(carry, _):
             sel = select_candidates(pos_w, pt_valid, priority, T0, cam,
@@ -286,7 +287,7 @@ def main():
     success = mout["success"] & sel["cell_valid"]
 
     # ---- stage 5: pose optimizer ----
-    @jax.jit
+    @functools.partial(jax.jit, static_argnums=0)
     def run_pose(n):
         def step(carry, _):
             pout = optimize_pose(
@@ -333,7 +334,7 @@ def main():
                for a in st["ba_args"]]
     ba_kw = st["ba_kw"]
 
-    @jax.jit
+    @functools.partial(jax.jit, static_argnums=0)
     def run_ba(n):
         def step(carry, _):
             out = local_bundle_adjustment(*ba_args, **ba_kw)

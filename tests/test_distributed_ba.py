@@ -8,12 +8,11 @@ import pytest
 from jax.sharding import Mesh
 
 from hso_tpu.ba.distributed import (
-    compute_deltas,
     make_distributed_ba,
     shard_obs,
     shard_problem,
 )
-from hso_tpu.ba.local_ba import local_bundle_adjustment
+from hso_tpu.ba.local_ba import compute_deltas, local_bundle_adjustment
 
 from test_local_ba import FOCAL, make_ba_problem, pose_errors
 
@@ -22,18 +21,17 @@ from test_local_ba import FOCAL, make_ba_problem, pose_errors
 def mesh():
     devs = np.array(jax.devices("cpu")[:8])
     assert len(devs) == 8, "conftest must force 8 virtual CPU devices"
-    return Mesh(devs, axis_names=("obs",))
+    return Mesh(devs, axis_names=("pts",))
 
 
 def _run_distributed(mesh, prob, n_iter):
     n_dev = mesh.devices.size
-    obs_s, idist_s, pv_s, p_local, n_dropped = shard_problem(
+    obs_s, idist_s, pv_s, p_local = shard_problem(
         prob["obs"], prob["idist"], prob["point_valid"], n_dev)
-    assert n_dropped == 0, n_dropped
     deltas = compute_deltas(prob["T_kf"], prob["idist"], prob["obs"], FOCAL)
     dba = make_distributed_ba(mesh, n_kf=prob["K"], n_pts_local=p_local,
                               n_iter=n_iter)
-    T_d, id_d, chi2_d = dba(
+    T_d, id_d, chi2_d, _rn = dba(
         prob["T_kf"], prob["free"], jnp.asarray(idist_s), jnp.asarray(pv_s),
         shard_obs({k: jnp.asarray(v) for k, v in obs_s.items()}, mesh),
         *deltas,
@@ -42,7 +40,7 @@ def _run_distributed(mesh, prob, n_iter):
 
 
 def test_distributed_matches_single_device(mesh):
-    prob = make_ba_problem(noise_px=0.3, seed=9, E=2048)
+    prob = make_ba_problem(noise_px=0.3, seed=9)
     ref = local_bundle_adjustment(
         prob["T_kf"], prob["free"], prob["idist"], prob["point_valid"],
         prob["obs"], n_kf=prob["K"], n_pts=prob["P"], n_iter=12, focal=FOCAL,
@@ -64,37 +62,26 @@ def test_distributed_matches_single_device(mesh):
 
 
 def test_distributed_convergence(mesh):
-    prob = make_ba_problem(noise_px=0.0, seed=12, E=2048)
+    prob = make_ba_problem(noise_px=0.0, seed=12)
     T_d, _, _ = _run_distributed(mesh, prob, n_iter=15)
     errs = pose_errors(T_d, prob["T_gt"], prob["n_kf"])
     assert errs.max() < 2e-3, errs
 
 
 def test_shard_problem_roundtrip(mesh):
-    """Every valid observation row lands on its point's owner with a
-    correctly rebased local index; landmark arrays pad block-contiguously."""
-    prob = make_ba_problem(noise_px=0.1, seed=4, E=1024)
+    """Dense-grid sharding is pure padding: point blocks stay contiguous and
+    every observation cell rides its point's row."""
+    prob = make_ba_problem(noise_px=0.1, seed=4)
     n_dev = 8
-    obs_s, idist_s, pv_s, p_local, n_dropped = shard_problem(
+    obs_s, idist_s, pv_s, p_local = shard_problem(
         prob["obs"], prob["idist"], prob["point_valid"], n_dev)
-    assert n_dropped == 0
     assert len(idist_s) == n_dev * p_local
     np.testing.assert_array_equal(
         idist_s[: prob["P"]], np.asarray(prob["idist"]))
-    e_local = len(obs_s["point"]) // n_dev
-    # reconstruct global point ids and compare multisets of (point, meas)
-    got = []
-    for d in range(n_dev):
-        sl = slice(d * e_local, (d + 1) * e_local)
-        v = obs_s["valid"][sl]
-        gp = obs_s["point"][sl][v] + d * p_local
-        assert ((gp >= d * p_local) & (gp < (d + 1) * p_local)).all()
-        got += list(zip(gp.tolist(),
-                        obs_s["meas"][sl][v][:, 0].tolist()))
     obs = {k: np.asarray(v) for k, v in prob["obs"].items()}
-    want = list(zip(obs["point"][obs["valid"]].tolist(),
-                    obs["meas"][obs["valid"]][:, 0].tolist()))
-    assert sorted(got) == sorted(want)
+    np.testing.assert_array_equal(obs_s["meas"][: prob["P"]], obs["meas"])
+    np.testing.assert_array_equal(obs_s["valid"][: prob["P"]], obs["valid"])
+    assert not obs_s["valid"][prob["P"]:].any()
 
 
 def test_drop_in_wrapper_matches_local(mesh):
@@ -102,7 +89,7 @@ def test_drop_in_wrapper_matches_local(mesh):
     interface and reaches the same optimum on the same problem."""
     from hso_tpu.ba.distributed import distributed_bundle_adjustment
 
-    prob = make_ba_problem(noise_px=0.3, seed=5, E=2048)
+    prob = make_ba_problem(noise_px=0.3, seed=5)
     kw = dict(n_kf=prob["K"], n_pts=prob["P"], n_iter=12, focal=FOCAL)
     ref = local_bundle_adjustment(
         prob["T_kf"], prob["free"], prob["idist"], prob["point_valid"],

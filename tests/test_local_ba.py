@@ -13,9 +13,11 @@ FOCAL = 450.0
 
 def make_ba_problem(
     n_kf=6, n_pts=120, seed=0, noise_px=0.0, edge_frac=0.25,
-    pose_pert=0.01, idist_pert=0.05, K=8, P=256, E=2048,
+    pose_pert=0.01, idist_pert=0.05, K=8, P=256,
 ):
-    """Synthetic windowed BA with known ground truth (padded to slot sizes)."""
+    """Synthetic windowed BA with known ground truth, in the solver's dense
+    (P, K) observation-grid layout (padded to slot sizes)."""
+    assert n_kf <= K and n_pts <= P
     rng = np.random.default_rng(seed)
     # camera ring looking at a point cloud
     T_gt = []
@@ -36,44 +38,44 @@ def make_ba_problem(
     idist_gt = 1.0 / dist
 
     # observations: every point seen in every other kf (z>0)
-    obs_point, obs_target, obs_host = [], [], []
-    obs_meas, obs_grad, obs_edge, obs_level = [], [], [], []
+    meas = np.zeros((P, K, 2), np.float32)
+    grad = np.zeros((P, K, 2), np.float32)
+    is_edge = np.zeros((P, K), bool)
+    level = np.zeros((P, K), np.int32)
+    valid = np.zeros((P, K), bool)
     for k in range(n_kf):
         p_k = np.einsum("ij,nj->ni", T_gt[k][:3, :3], p_w) + T_gt[k][:3, 3]
         for p in range(n_pts):
             if k == host[p] or p_k[p, 2] < 0.1:
                 continue
             uv = p_k[p, :2] / p_k[p, 2]
-            uv = uv + rng.normal(0, noise_px / FOCAL, 2)
-            obs_point.append(p)
-            obs_target.append(k)
-            obs_host.append(host[p])
-            obs_meas.append(uv)
+            meas[p, k] = uv + rng.normal(0, noise_px / FOCAL, 2)
             g = rng.normal(size=2)
-            obs_grad.append(g / np.linalg.norm(g))
-            obs_edge.append(rng.uniform() < edge_frac)
-            obs_level.append(rng.integers(0, 3))
+            grad[p, k] = g / np.linalg.norm(g)
+            is_edge[p, k] = rng.uniform() < edge_frac
+            level[p, k] = rng.integers(0, 3)
+            valid[p, k] = True
 
-    n_e = len(obs_point)
-    assert n_e <= E
+    f_host_pad = np.zeros((P, 3), np.float32)
+    f_host_pad[:n_pts] = f_host
+    host_pad = np.zeros(P, np.int32)
+    host_pad[:n_pts] = host
+
+    obs = {
+        "meas": jnp.asarray(meas),
+        "grad": jnp.asarray(grad),
+        "is_edgelet": jnp.asarray(is_edge),
+        "level": jnp.asarray(level),
+        "valid": jnp.asarray(valid),
+        "f_host": jnp.asarray(f_host_pad),
+        "host": jnp.asarray(host_pad),
+    }
 
     def pad(a, n, fill=0):
         a = np.asarray(a)
         out = np.full((n,) + a.shape[1:], fill, a.dtype)
         out[: len(a)] = a
         return out
-
-    obs = {
-        "point": jnp.asarray(pad(obs_point, E)),
-        "target": jnp.asarray(pad(obs_target, E)),
-        "host": jnp.asarray(pad(obs_host, E)),
-        "f_host": jnp.asarray(pad(f_host[np.asarray(obs_point)], E).astype(np.float32)),
-        "meas": jnp.asarray(pad(obs_meas, E).astype(np.float32)),
-        "grad": jnp.asarray(pad(obs_grad, E).astype(np.float32)),
-        "is_edgelet": jnp.asarray(pad(obs_edge, E).astype(bool)),
-        "level": jnp.asarray(pad(obs_level, E).astype(np.int32)),
-        "valid": jnp.asarray(pad(np.ones(n_e, bool), E)),
-    }
 
     # perturb all but kf 0 and 1 (two fixed KFs anchor the monocular scale
     # gauge, like the window's out-of-horizon fixed keyframes)
@@ -97,7 +99,7 @@ def make_ba_problem(
 
 
 def test_jacobians_match_autodiff():
-    prob = make_ba_problem(n_kf=3, n_pts=10, E=64, P=16, K=4, noise_px=0.5)
+    prob = make_ba_problem(n_kf=3, n_pts=10, P=16, K=4, noise_px=0.5)
     obs = prob["obs"]
     T_kf = prob["T_kf"]
     idist = prob["idist"]
@@ -115,27 +117,20 @@ def test_jacobians_match_autodiff():
 
     eps_r = jnp.zeros_like(idist)
     eps_T = jnp.zeros((prob["K"], 6))
-    Jr_auto = jax.jacfwd(lambda e: r_of(e, eps_T))(eps_r)  # (E,2,P)
-    JT_auto = jax.jacfwd(lambda e: r_of(eps_r, e))(eps_T)  # (E,2,K,6)
+    Jr_auto = np.asarray(jax.jacfwd(lambda e: r_of(e, eps_T))(eps_r))   # (P,K,2,P)
+    JT_auto = np.asarray(jax.jacfwd(lambda e: r_of(eps_r, e))(eps_T))   # (P,K,2,K,6)
 
-    E = obs["point"].shape[0]
     valid = np.asarray(obs["valid"])
-    p_idx = np.asarray(obs["point"])
-    t_idx = np.asarray(obs["target"])
     h_idx = np.asarray(obs["host"])
-    Jr_auto = np.asarray(Jr_auto)
-    JT_auto = np.asarray(JT_auto)
-    for e in range(E):
-        if not valid[e]:
-            continue
+    for p, k in zip(*np.nonzero(valid)):
         np.testing.assert_allclose(
-            np.asarray(J_rho)[e], Jr_auto[e, :, p_idx[e]], atol=1e-3, rtol=1e-3
+            np.asarray(J_rho)[p, k], Jr_auto[p, k, :, p], atol=1e-3, rtol=1e-3
         )
         np.testing.assert_allclose(
-            np.asarray(J_t)[e], JT_auto[e, :, t_idx[e]], atol=1e-3, rtol=1e-3
+            np.asarray(J_t)[p, k], JT_auto[p, k, :, k], atol=1e-3, rtol=1e-3
         )
         np.testing.assert_allclose(
-            np.asarray(J_h)[e], JT_auto[e, :, h_idx[e]], atol=1e-3, rtol=1e-3
+            np.asarray(J_h)[p, k], JT_auto[p, k, :, h_idx[p]], atol=1e-3, rtol=1e-3
         )
 
 
