@@ -14,11 +14,12 @@ Honesty protocol:
   * the map (point table, memoized patch sources, depth-filter seed state,
     BA problem) is built by running the REAL FrameHandler over a bootstrap
     segment first (untimed) — no oracle depths anywhere;
-  * the timed segment is a single ``lax.scan`` whose step is the same kernel
-    sequence the live pipeline dispatches per frame, with the pose estimate
-    feeding forward through the carry (dispatch/tunnel overhead excluded:
-    the axon dev tunnel costs ~24 ms per host sync, which a production
-    host-adjacent deployment does not pay);
+  * the timed segment is a single ``lax.scan`` whose step calls THE SAME
+    fused per-frame function the live pipeline dispatches
+    (``FrameHandler._fused_step`` → hso_tpu/pipeline/fused_step.py), with
+    pose/pyramid/obs/seed state feeding forward through the carry
+    (dispatch/tunnel overhead excluded: the axon dev tunnel costs ~24 ms per
+    host sync, which a production host-adjacent deployment does not pay);
   * the scan trajectory is checked against ground truth with scale-aligned
     ATE — a broken tracking loop fails the bench instead of reporting a
     garbage-fast number;
@@ -35,6 +36,7 @@ measured reference number becomes available.
 Prints exactly one JSON line.
 """
 
+import functools
 import json
 import os
 import sys
@@ -59,14 +61,9 @@ import jax.numpy as jnp
 from hso_tpu.cameras import PinholeCamera
 from hso_tpu.config import Config
 from hso_tpu.image.pyramid import build_frame_pyramids
-from hso_tpu.mapmodel.structures import TYPE_TEMPORARY
-from hso_tpu.math import se3, se3np
-from hso_tpu.mapping.depth_filter import update_seeds
+from hso_tpu.math import se3np
 from hso_tpu.ops.detect import detect_features
 from hso_tpu.pipeline.frame_handler import FrameHandler
-from hso_tpu.track.coarse_tracker import make_coarse_tracker
-from hso_tpu.track.matcher import match_points, select_candidates
-from hso_tpu.track.pose_optimizer import optimize_pose
 from hso_tpu.utils.evaluate import ate
 from hso_tpu.utils.synthetic import BoxScene
 
@@ -129,49 +126,23 @@ def main() -> None:
         vo.add_image(frames[k], ts=float(k))
     host_fps = N_HOST / (time.perf_counter() - t0)
 
-    # ---- snapshot the live map state for the steady-state scan ----
-    pts = vo.points
-    kf_poses = jnp.asarray(vo.kfs.poses, jnp.float32)
-    kf_exposure = jnp.asarray(vo.kfs.exposure, jnp.float32)
-    pos_w = jnp.asarray(pts.positions(vo.kfs.poses), jnp.float32)
-    pt_valid = jnp.asarray(pts.valid)
-    priority = jnp.asarray(pts.type.astype(np.int32))
-    snap = {k: jnp.asarray(getattr(pts, k)) for k in (
-        "patch_win", "patch_anchor", "patch_px", "patch_f", "patch_level",
-        "patch_grad", "species", "patch_kf")}
-    is_temp = jnp.asarray(pts.type == TYPE_TEMPORARY)
+    # ---- snapshot the live map state for the steady-state scan.  The scan
+    # step IS the pipeline's fused per-frame step (FrameHandler._fused_step /
+    # hso_tpu/pipeline/fused_step.py) — the bench cannot diverge from what
+    # add_image dispatches ----
+    snap = vo._snapshot()
+    step_fn = vo._fused_step()
     seeds0 = vo.seeds
-    ring_T = jnp.asarray(vo._ring_poses(), jnp.float32)
-    ring_exp = jnp.asarray(
-        np.array([vo.kfs.exposure[i] if i >= 0 else 1.0 for i in vo.seed_ring],
-                 np.float32))
     px_err_angle = vo.px_error_angle
-    cell, gh, gw = vo._grid
-    C = gh * gw
 
-    tracker = make_coarse_tracker(
-        cam, max_level=cfg.klt_max_level, min_level=cfg.klt_min_level + 1,
-        n_iter=cfg.coarse_n_iter, inverse=True)
-
-    # initial carry: the host loop's last frame (pose, pyramid, matched obs)
     last = vo.last_frame
-    o = last.obs
-    ov = o["valid"] & (o["point_id"] >= 0)
-    n0 = min(C, len(ov))
-
-    def fit_c(a):
-        a = np.asarray(a)[:n0]
-        pad = [(0, C - n0)] + [(0, 0)] * (a.ndim - 1)
-        return jnp.asarray(np.pad(a, pad))
-
-    obs0 = {
-        "px": fit_c(o["px"]), "f": fit_c(o["f"]), "level": fit_c(o["level"]),
-        "grad": fit_c(o["grad"]), "species": fit_c(o["species"]),
-        "pid": fit_c(np.where(ov, o["point_id"], 0)[:len(ov)]),
-        "valid": fit_c(ov),
-    }
+    obs0 = vo._prev_obs_dev(last)
     T0 = jnp.asarray(last.T_f_w, jnp.float32)
     pyr0 = build_frame_pyramids(jnp.asarray(frames[N_BOOT + N_HOST - 1]))["pyr"]
+    gm0 = jnp.float32(last.grad_mean)
+    it0 = jnp.float32(last.intensity_mean)
+    exp0 = jnp.float32(last.exposure)
+    I_rel = jnp.asarray(se3np.identity(), jnp.float32)
 
     ba_args, ba_kw = captured["args"], captured["kw"]
 
@@ -179,58 +150,14 @@ def main() -> None:
     kf_sched = jnp.asarray(
         (np.arange(N_SCAN) % KF_EVERY) == KF_EVERY - 1)
 
-    def step(carry, inp):
+    def step(snap, carry, inp):
         img, is_kf = inp
-        T_prev, prev_pyr, obs, seeds = carry
-        data = build_frame_pyramids(img)
+        T_prev, prev_pyr, prev_gm, prev_it, exp_prev, obs, seeds = carry
+        out = step_fn(img, prev_pyr, prev_gm, T_prev, obs, prev_it, exp_prev,
+                      I_rel, snap, seeds, jnp.float32(px_err_angle))
+        data = out["data"]
 
-        # 1. coarse photometric tracking vs the previous frame
-        p_prev = se3.apply(T_prev, pos_w[obs["pid"]])
-        dist = jnp.where(obs["valid"] & (p_prev[:, 2] > 1e-5),
-                         jnp.linalg.norm(p_prev, axis=-1), -1.0)
-        tout = tracker(prev_pyr, data["pyr"], obs["px"], obs["f"],
-                       dist.astype(jnp.float32),
-                       jnp.asarray(se3np.identity(), jnp.float32), 1.0)
-        T_cur = se3.mul(tout["T_cur_ref"], T_prev)
-
-        # 2. reprojection: per-cell candidate selection + batched matching
-        sel = select_candidates(pos_w, pt_valid, priority, T_cur, cam,
-                                cell=cell, grid_h=gh, grid_w=gw)
-        cp = jnp.where(sel["cell_valid"], sel["cell_point"], 0)
-        pkf = snap["patch_kf"][cp]
-        T_p = kf_poses[pkf]
-        p_in_patch = se3.apply(T_p, pos_w[cp])
-        idist_p = 1.0 / jnp.maximum(jnp.linalg.norm(p_in_patch, axis=-1), 1e-9)
-        cand = {
-            "host_win": snap["patch_win"][cp],
-            "host_anchor": snap["patch_anchor"][cp],
-            "host_px": snap["patch_px"][cp],
-            "host_f": snap["patch_f"][cp],
-            "host_level": snap["patch_level"][cp],
-            "grad": snap["patch_grad"][cp],
-            "species": snap["species"][cp],
-            "idist": idist_p.astype(jnp.float32),
-            "T_host_w": T_p,
-            "exposure_host": kf_exposure[pkf],
-            "valid": sel["cell_valid"],
-        }
-        mout = match_points(cand, data["pyr"], data["sobel_x"],
-                            data["sobel_y"], T_cur, 1.0, cam)
-        success = mout["success"] & sel["cell_valid"]
-
-        # 3. motion-only pose refinement on the matches
-        pout = optimize_pose(
-            T_cur, pos_w[cp], mout["f_cur"], mout["level"], mout["grad_cur"],
-            snap["species"][cp] == 1, is_temp[cp], success,
-            focal=float(cam.focal_mean), reproj_thresh=cfg.poseoptim_thresh)
-        T_new = pout["T_f_w"]
-
-        # 4. depth-filter observation sweep (the mapping-thread work)
-        seeds, sstats = update_seeds(
-            seeds, ring_T, ring_exp, data["pyr"], data["sobel_x"],
-            data["sobel_y"], T_new, 1.0, px_err_angle, cam)
-
-        # 5. keyframe-amortised work: hybrid detection + windowed Schur BA
+        # keyframe-amortised work: hybrid detection + windowed Schur BA
         def kf_work(_):
             occ = jnp.zeros((-(-cam.height // 32), -(-cam.width // 32)), bool)
             det = detect_features(data["pyr"][:3], data["sobel_x"],
@@ -242,29 +169,27 @@ def main() -> None:
         kf_chk = jax.lax.cond(is_kf, kf_work,
                               lambda _: jnp.float32(0.0), 0)
 
-        new_obs = {
-            "px": mout["px"], "f": mout["f_cur"], "level": mout["level"],
-            "grad": mout["grad_cur"], "species": snap["species"][cp],
-            "pid": cp, "valid": success,
-        }
-        chk = (kf_chk + jnp.sum(sstats["n_updated"]).astype(jnp.float32)
-               + jnp.sum(success).astype(jnp.float32))
-        return (T_new, data["pyr"], new_obs, seeds), (T_new, chk)
+        chk = (kf_chk + out["n_seeds_updated"].astype(jnp.float32)
+               + out["n_matches"].astype(jnp.float32) + out["err_px"])
+        carry = (out["T_new"], data["pyr"], data["grad_mean"],
+                 data["intensity_mean"], out["exposure"], out["obs_next"],
+                 out["seeds"])
+        return carry, (out["T_new"], chk)
 
     @jax.jit
-    def run(imgs, seeds):
-        carry0 = (T0, pyr0, obs0, seeds)
-        (_, _, _, seeds_fin), (traj, chk) = jax.lax.scan(
-            step, carry0, (imgs, kf_sched))
+    def run(imgs, seeds, snap):
+        carry0 = (T0, pyr0, gm0, it0, exp0, obs0, seeds)
+        (_, _, _, _, _, _, seeds_fin), (traj, chk) = jax.lax.scan(
+            functools.partial(step, snap), carry0, (imgs, kf_sched))
         # consume all stage outputs so XLA cannot dead-code-eliminate them
         return traj, jnp.sum(chk) + jnp.sum(seeds_fin["mu"])
 
-    traj, chk = run(scan_imgs, seeds0)          # warmup / compile
+    traj, chk = run(scan_imgs, seeds0, snap)    # warmup / compile
     _ = np.asarray(chk)
 
     t0 = time.perf_counter()
     for _ in range(N_REPEATS):
-        traj, chk = run(scan_imgs, seeds0)
+        traj, chk = run(scan_imgs, seeds0, snap)
         _ = np.asarray(chk)                      # forced sync
     dt = time.perf_counter() - t0
     assert np.isfinite(float(chk)), "scan produced non-finite state"

@@ -10,6 +10,50 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def solve_spd_small(A: jnp.ndarray, b: jnp.ndarray,
+                    eps: float = 1e-12) -> jnp.ndarray:
+    """Solve A x = b for a small SPD system (n ≤ ~10) by a trace-time
+    unrolled Cholesky + two triangular substitutions.
+
+    ``jnp.linalg.solve`` lowers to a pivoted LU kernel that costs ~1 ms per
+    call on TPU even at 7×7 — inside LM iteration loops (coarse tracker,
+    pose optimizer) that dominates the whole stage.  The unrolled form is a
+    few dozen fused scalar ops.  Damped Gauss-Newton systems are SPD by
+    construction; ``eps`` guards rank-deficient corners (the caller's
+    finite-check handles genuinely singular systems, matching the previous
+    behaviour where ``linalg.solve`` returned inf/nan).
+    """
+    n = A.shape[-1]
+    L = [[None] * n for _ in range(n)]
+    for j in range(n):
+        s = A[..., j, j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        d = jnp.sqrt(jnp.maximum(s, eps))
+        L[j][j] = d
+        inv_d = 1.0 / d
+        for i in range(j + 1, n):
+            s = A[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = s * inv_d
+    # forward: L y = b
+    y = [None] * n
+    for i in range(n):
+        s = b[..., i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    # backward: Lᵀ x = y
+    x = [None] * n
+    for i in range(n - 1, -1, -1):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x, axis=-1)
+
+
 def det2x2(A: jnp.ndarray) -> jnp.ndarray:
     return A[..., 0, 0] * A[..., 1, 1] - A[..., 0, 1] * A[..., 1, 0]
 

@@ -58,19 +58,21 @@ def _shift2d(img: jnp.ndarray, dx: int, dy: int) -> jnp.ndarray:
 
 
 def _box_sum(img: jnp.ndarray, lo: int, hi: int) -> jnp.ndarray:
-    """Sum over the box offsets [lo, hi) in both axes via two 1D convs."""
-    k = np.ones(hi - lo, np.float32)
-    pad_before = -lo
-    pad_after = hi - 1
-    x = jnp.pad(img, ((pad_before, pad_after), (0, 0)))
-    x = jax.lax.conv_general_dilated(
-        x[None, None], jnp.asarray(k)[None, None, :, None], (1, 1), "VALID"
-    )[0, 0]
-    x = jnp.pad(x, ((0, 0), (pad_before, pad_after)))
-    x = jax.lax.conv_general_dilated(
-        x[None, None], jnp.asarray(k)[None, None, None, :], (1, 1), "VALID"
-    )[0, 0]
-    return x
+    """Sum over the box offsets [lo, hi) in both axes as separable
+    shifted-slice adds (a batch-1 TPU conv lowers to a pathological path,
+    ~0.4 ms per 8-tap pass at 480×640; the tap sums fuse into VPU adds —
+    same finding as image/pyramid._sep_filter_replicate)."""
+    h, w = img.shape
+    n = hi - lo
+    x = jnp.pad(img, ((-lo, hi - 1), (0, 0)))
+    acc = x[0:h, :]
+    for k in range(1, n):
+        acc = acc + x[k:k + h, :]
+    x = jnp.pad(acc, ((0, 0), (-lo, hi - 1)))
+    acc = x[:, 0:w]
+    for k in range(1, n):
+        acc = acc + x[:, k:k + w]
+    return acc
 
 
 def shi_tomasi_map(img: jnp.ndarray) -> jnp.ndarray:

@@ -127,6 +127,11 @@ class FrameHandler:
             from hso_tpu.photometric import OnlinePhotometricCalibrator
 
             self.photo = OnlinePhotometricCalibrator(cam)
+        # fused-step snapshot cache (see _snapshot): heavy device uploads
+        # happen only when a keyframe event bumps the map version
+        self._map_version = 0
+        self._snap_heavy = None
+        self._snap_heavy_version = -1
         # per-stage tracing (the reference's HSO_TRACE PerformanceMonitor,
         # frame_handler_base.cpp:54-81); enable via enable_tracing() or the
         # HSO_TRACE env var
@@ -134,10 +139,14 @@ class FrameHandler:
         if os.environ.get("HSO_TRACE"):
             self.enable_tracing(trace_dir=os.environ.get("HSO_TRACE_DIR", "/tmp"))
 
-    #: the reference's registered timers + per-frame log values
+    #: the reference's registered timers + per-frame log values.  The
+    #: per-frame stages are ONE fused dispatch (fused_frame_step subsumes
+    #: pyramid_creation / sparse_img_align / reproject / pose_optimizer /
+    #: seed_update); keyframe-time work keeps its own timers.
     TRACE_TIMERS = (
-        "pyramid_creation", "sparse_img_align", "reproject", "pose_optimizer",
-        "local_ba", "seed_update", "feature_detection", "tot_time",
+        "pyramid_creation", "fused_frame_step", "sparse_img_align",
+        "reproject", "pose_optimizer", "local_ba", "seed_update",
+        "feature_detection", "tot_time",
     )
     TRACE_LOGS = (
         "frame_id", "n_matches", "n_inliers", "n_seeds_updated", "n_kfs",
@@ -200,16 +209,23 @@ class FrameHandler:
         img_in = img_u8
         if self.photo is not None:
             img_in = self.photo.correct(img_u8)  # linearize (identity until calibrated)
-        with self._t("pyramid_creation"):
-            frame = self._make_frame(img_in, ts)
-        if self.stage == STAGE_FIRST:
-            res = self._process_first(frame)
-        elif self.stage == STAGE_SECOND:
-            res = self._process_second(frame)
-        elif self.stage == STAGE_DEFAULT:
-            res = self._process_default(frame)
+        if self.stage == STAGE_DEFAULT:
+            # pyramid construction happens inside the fused step
+            frame = Frame(
+                frame_id=self.frame_count, timestamp=ts,
+                T_f_w=se3np.identity(), data=None,
+                obs=empty_obs(self.cfg.n_fts_max),
+            )
+            res = self._process_default(frame, img_in)
         else:
-            res = self._relocalize(frame)
+            with self._t("pyramid_creation"):
+                frame = self._make_frame(img_in, ts)
+            if self.stage == STAGE_FIRST:
+                res = self._process_first(frame)
+            elif self.stage == STAGE_SECOND:
+                res = self._process_second(frame)
+            else:
+                res = self._relocalize(frame)
         self.last_frame = frame
         self.frame_count += 1
         self.trajectory.append((ts, frame.T_f_w.copy()))
@@ -347,86 +363,116 @@ class FrameHandler:
         self.n_last_inliers = m
         self.regular_counter = 0
         self.after_init = True
+        self._bump_map_version()
         return FrameResult(RESULT_KEYFRAME, frame.T_f_w, n_matches=m, n_inliers=m)
 
     # ------------------------------------------------------------------ default
-    def _process_default(self, frame: Frame) -> FrameResult:
+    def _process_default(self, frame: Frame, img=None) -> FrameResult:
+        """The default per-frame path: ONE fused device dispatch (pyramid,
+        coarse track, grid select + two-pass matching, pose LM, depth-filter
+        sweep — hso_tpu/pipeline/fused_step.py) followed by host-only
+        bookkeeping.  The reference's analogue is one tracking-thread pass,
+        frame_handler_mono.cpp:173-355."""
+        import jax
+
         cfg = self.cfg
         last = self.last_frame
-        frame.T_f_w = se3np.mul(self.motion_model, last.T_f_w)
+        if img is None:
+            img = frame.data["pyr"][0]      # reloc path: pre-built frame
 
-        # ---- 1. coarse tracking vs last frame ----
-        ref_obs = last.obs
-        valid_ref = ref_obs["valid"] & (ref_obs["point_id"] >= 0)
-        pid = np.where(valid_ref, ref_obs["point_id"], 0)
-        pos_w = self.points.positions(self.kfs.poses)[pid]
-        p_ref = se3np.apply(last.T_f_w, pos_w)
-        dist = np.linalg.norm(p_ref, axis=-1)
-        dist = np.where(valid_ref & (p_ref[:, 2] > 1e-5), dist, -1.0).astype(np.float32)
+        step = self._fused_step()
+        snap = self._snapshot()
+        prev_obs = self._prev_obs_dev(last)
+        T_prev = getattr(last, "T_dev", None)
+        if T_prev is None:
+            T_prev = jnp.asarray(last.T_f_w, jnp.float32)
+        prev_gm = getattr(last, "grad_mean_dev", None)
+        if prev_gm is None:
+            prev_gm = jnp.float32(last.grad_mean)
+        prev_it = getattr(last, "intensity_dev", None)
+        if prev_it is None:
+            prev_it = jnp.float32(last.intensity_mean)
 
-        inverse = not (frame.grad_mean > last.grad_mean + 0.5)
-        tracker = make_coarse_tracker(
-            self.cam, max_level=cfg.klt_max_level, min_level=cfg.klt_min_level + 1,
-            n_iter=cfg.coarse_n_iter, inverse=inverse,
-            pattern_offset=cfg.coarse_pattern_offset,
-        )
-        a_init = frame.intensity_mean / max(last.intensity_mean, 1e-6)
-        with self._t("sparse_img_align"):
-            tout = tracker(
-                last.data["pyr"], frame.data["pyr"],
-                jnp.asarray(ref_obs["px"], jnp.float32),
-                jnp.asarray(ref_obs["f"], jnp.float32),
-                jnp.asarray(dist),
-                jnp.asarray(se3np.identity() if last is None else
-                            se3np.mul(frame.T_f_w, se3np.inv(last.T_f_w)), jnp.float32),
-                float(a_init),
+        with self._t("fused_frame_step"):
+            out = step(
+                jnp.asarray(img), last.data["pyr"], prev_gm, T_prev, prev_obs,
+                prev_it, jnp.float32(last.exposure),
+                jnp.asarray(self.motion_model, jnp.float32), snap, self.seeds,
+                jnp.float32(self.px_error_angle),
             )
-            T_cur_ref = np.asarray(tout["T_cur_ref"], np.float64)
-        frame.T_f_w = se3np.normalize(se3np.mul(T_cur_ref, last.T_f_w))
-        a = float(tout["exposure_ratio"])
-        frame.exposure = last.exposure if 0.99 < a < 1.01 else a * last.exposure
+            host = jax.device_get({k: out[k] for k in (
+                "T_new", "exposure", "n_matches", "n_inliers", "err_px",
+                "success", "inlier", "cid", "px", "f_cur", "level", "grad_cur",
+                "species", "cv1", "s1", "tried2", "s2_used", "cp1", "cp2",
+                "depth_mean", "depth_min", "distance_mean",
+                "n_seeds_updated", "seed_match_px", "seed_matched",
+            )})
 
-        # ---- 2. reprojection + direct matching ----
-        with self._t("reproject"):
-            n_matches = self._reproject(frame)
-        if n_matches < 100:
-            # sparse frame: also match unconverged depth-filter seeds,
-            # creating TEMPORARY points (Reprojector::reprojectorSeeds,
-            # reprojector.cpp:309-328,431-502)
-            n_matches += self._reproject_seeds(frame, n_matches)
+        frame.data = out["data"]
+        frame.grad_mean_dev = out["data"]["grad_mean"]
+        frame.intensity_dev = out["data"]["intensity_mean"]
+        frame.T_dev = out["T_new"]
+        frame.obs_dev = out["obs_next"]
+        frame.T_f_w = se3np.normalize(np.asarray(host["T_new"], np.float64))
+        frame.exposure = float(host["exposure"])
+
+        # ---- point lifecycle counters + obs writeback (host) ----
+        pts = self.points
+        for cand, tried, succ_m in (
+            (host["cp1"], host["cv1"], host["s1"]),
+            (host["cp2"], host["tried2"], host["s2_used"]),
+        ):
+            good_ids = cand[tried & succ_m]
+            fail_ids = cand[tried & ~succ_m]
+            pts.n_succ[good_ids] += 1
+            pts.n_fail[fail_ids] += 1
+            kill = fail_ids[
+                (pts.type[fail_ids] == TYPE_TEMPORARY) & (pts.n_fail[fail_ids] > 3)
+            ]
+            self.points.release(kill)
+            kill2 = fail_ids[
+                (pts.type[fail_ids] == TYPE_UNKNOWN) & (pts.n_fail[fail_ids] > 15)
+            ]
+            self.points.release(kill2)
+            promote = good_ids[
+                (pts.type[good_ids] == TYPE_UNKNOWN) & (pts.n_succ[good_ids] > 10)
+            ]
+            pts.type[promote] = TYPE_GOOD
+
+        o = frame.obs
+        keep = host["success"] & host["inlier"]
+        w = np.where(keep)[0]
+        rows = slice(0, len(w))
+        o["valid"][rows] = True
+        o["px"][rows] = host["px"][w]
+        o["f"][rows] = host["f_cur"][w]
+        o["level"][rows] = host["level"][w]
+        o["species"][rows] = host["species"][w]
+        o["grad"][rows] = host["grad_cur"][w]
+        o["point_id"][rows] = host["cid"][w]
+
+        n_matches = int(host["n_matches"])
+        n_inliers = int(host["n_inliers"])
+        err_px = float(host["err_px"])
+
         if n_matches < cfg.quality_min_fts:
             frame.T_f_w = last.T_f_w.copy()
             self.stage = STAGE_RELOC
             return FrameResult(RESULT_FAILURE, frame.T_f_w, n_matches=n_matches)
 
-        # ---- 3. motion-only pose optimization ----
-        o = frame.obs
-        ov = o["valid"] & (o["point_id"] >= 0)
-        pid = np.where(ov, o["point_id"], 0)
-        p_world = self.points.positions(self.kfs.poses)[pid].astype(np.float32)
-        with self._t("pose_optimizer"):
-            pout = optimize_pose(
-                jnp.asarray(frame.T_f_w, jnp.float32),
-                jnp.asarray(p_world),
-                jnp.asarray(o["f"], jnp.float32),
-                jnp.asarray(o["level"]),
-                jnp.asarray(o["grad"], jnp.float32),
-                jnp.asarray(o["species"] == 1),
-                jnp.asarray(self.points.type[pid] == TYPE_TEMPORARY),
-                jnp.asarray(ov),
-                focal=float(self.cam.focal_mean),
-                reproj_thresh=cfg.poseoptim_thresh,
-            )
-            frame.T_f_w = se3np.normalize(np.asarray(pout["T_f_w"], np.float64))
-            inlier = np.asarray(pout["inlier"])
-        n_inliers = int(inlier.sum())
-        # strip outlier observations
-        o["point_id"] = np.where(ov & ~inlier, -1, o["point_id"])
-        o["valid"] &= o["point_id"] >= 0
+        if n_matches < 100:
+            # sparse frame: also match unconverged depth-filter seeds,
+            # creating TEMPORARY points (Reprojector::reprojectorSeeds,
+            # reprojector.cpp:309-328,431-502), then refine the pose over the
+            # combined observation set (extra dispatches on sparse frames
+            # only; the in-step seed sweep used the pre-refinement pose)
+            n_temp = self._reproject_seeds(frame, n_matches)
+            if n_temp:
+                n_matches += n_temp
+                n_inliers, err_px = self._pose_refine_host(frame)
+                frame.T_dev = None
+                frame.obs_dev = None
 
-        # tracking quality (setTrackingQuality, frame_handler_base.cpp:165-179):
-        # only INSUFFICIENT (< quality_min_fts) fails the frame; a large
-        # feature drop marks quality BAD but the reference never acts on it
         if n_inliers < cfg.quality_min_fts:
             frame.T_f_w = last.T_f_w.copy()
             self.stage = STAGE_RELOC
@@ -437,17 +483,19 @@ class FrameHandler:
         )
         self.n_last_inliers = n_inliers
 
-        # ---- 4. scene depth statistics ----
-        ov = o["valid"]
-        pid = np.where(ov, o["point_id"], 0)
-        p_cur = se3np.apply(frame.T_f_w, self.points.positions(self.kfs.poses)[pid])
-        z = p_cur[ov][:, 2]
-        d = np.linalg.norm(p_cur[ov], axis=-1)
-        depth_mean = float(np.median(z)) if len(z) else 1.0
-        depth_min = float(z.min()) if len(z) else 0.1
-        distance_mean = float(np.median(d)) if len(d) else 1.0
+        depth_mean = float(host["depth_mean"]) if np.isfinite(host["depth_mean"]) else 1.0
+        depth_min = float(host["depth_min"]) if np.isfinite(host["depth_min"]) else 0.1
+        distance_mean = (float(host["distance_mean"])
+                         if np.isfinite(host["distance_mean"]) else 1.0)
 
-        # ---- 5. keyframe decision ----  (the frame right after bootstrap is
+        # seed sweep results (accepted only on non-failure paths, like the
+        # reference mapping queue that never sees failed frames)
+        self.seeds = out["seeds"]
+        n_upd = int(host["n_seeds_updated"])
+        self._last_seed_match_px = host["seed_match_px"]
+        self._last_seed_matched = host["seed_matched"]
+
+        # ---- keyframe decision ----  (the frame right after bootstrap is
         # forced to be a keyframe: afterInit_, frame_handler_mono.cpp:275-294)
         is_kf = self.after_init or self._need_new_kf(frame, distance_mean)
         self.after_init = False
@@ -469,24 +517,101 @@ class FrameHandler:
             self.points.gc_stale(kf_idx)
             with self._t("local_ba"):
                 self._run_ba(frame)
-        else:
-            self.regular_counter += 1
-
-        # ---- 6. depth-filter sweep (mapping work, synchronous) ----
-        with self._t("seed_update"):
-            n_upd = self._depth_filter_sweep(frame)
-        if is_kf:
             thresh = 100.0 if n_inliers <= 70 else 200.0
             with self._t("feature_detection"):
                 self._harvest_seeds()
-                self._add_keyframe_seeds(frame, distance_mean, 0.5 * depth_min, thresh)
+                self._add_keyframe_seeds(frame, distance_mean,
+                                         0.5 * max(depth_min, 1e-3), thresh)
+            self._bump_map_version()
+        else:
+            self.regular_counter += 1
 
         self.motion_model = se3np.mul(frame.T_f_w, se3np.inv(last.T_f_w))
         self.pre_frames.append(frame)
-        return FrameResult(
-            result, frame.T_f_w, n_matches, n_inliers, n_upd,
-            float(pout["err_final_px"]),
+        return FrameResult(result, frame.T_f_w, n_matches, n_inliers, n_upd,
+                           err_px)
+
+    def _fused_step(self):
+        from hso_tpu.pipeline.fused_step import make_frame_step
+
+        cfg = self.cfg
+        return make_frame_step(
+            self.cam, self._grid, cfg.klt_max_level, cfg.klt_min_level,
+            cfg.coarse_n_iter, cfg.coarse_pattern_offset,
+            cfg.poseoptim_thresh, n_obs_pad=cfg.n_fts_max)
+
+    def _bump_map_version(self) -> None:
+        self._map_version += 1
+
+    def _snapshot(self) -> dict:
+        """Device-side map snapshot for the fused step: heavy members are
+        re-uploaded only when the map changed (keyframe events bump
+        ``_map_version``); the per-frame part is ONE packed int32 array."""
+        from hso_tpu.pipeline.fused_step import pack_light
+
+        pts = self.points
+        if self._snap_heavy is None or self._snap_heavy_version != self._map_version:
+            self._snap_heavy = {
+                "pos_w": jnp.asarray(
+                    pts.positions(self.kfs.poses).astype(np.float32)),
+                "kf_poses": jnp.asarray(self.kfs.poses.astype(np.float32)),
+                "kf_exposure": jnp.asarray(self.kfs.exposure),
+                "ring_T": jnp.asarray(self._ring_poses()),
+                "ring_exp": jnp.asarray(np.array(
+                    [self.kfs.exposure[i] if i >= 0 else 1.0
+                     for i in self.seed_ring], np.float32)),
+                "patch_win": jnp.asarray(pts.patch_win),
+                "patch_anchor": jnp.asarray(pts.patch_anchor),
+                "patch_px": jnp.asarray(pts.patch_px),
+                "patch_f": jnp.asarray(pts.patch_f),
+                "patch_level": jnp.asarray(pts.patch_level),
+                "patch_grad": jnp.asarray(pts.patch_grad),
+                "species": jnp.asarray(pts.species),
+                "patch_kf": jnp.asarray(pts.patch_kf),
+            }
+            self._snap_heavy_version = self._map_version
+        snap = dict(self._snap_heavy)
+        snap["light"] = jnp.asarray(pack_light(pts.type, pts.valid))
+        return snap
+
+    def _prev_obs_dev(self, last: Frame) -> dict:
+        od = getattr(last, "obs_dev", None)
+        if od is not None:
+            return od
+        o = last.obs
+        ov = o["valid"] & (o["point_id"] >= 0)
+        return {
+            "px": jnp.asarray(o["px"], jnp.float32),
+            "f": jnp.asarray(o["f"], jnp.float32),
+            "pid": jnp.asarray(np.where(ov, o["point_id"], 0)),
+            "valid": jnp.asarray(ov),
+        }
+
+    def _pose_refine_host(self, frame: Frame) -> tuple[int, float]:
+        """Motion-only pose LM over the frame's full observation table (used
+        after TEMPORARY-seed top-up changed the observation set)."""
+        cfg = self.cfg
+        o = frame.obs
+        ov = o["valid"] & (o["point_id"] >= 0)
+        pid = np.where(ov, o["point_id"], 0)
+        p_world = self.points.positions(self.kfs.poses)[pid].astype(np.float32)
+        pout = optimize_pose(
+            jnp.asarray(frame.T_f_w, jnp.float32),
+            jnp.asarray(p_world),
+            jnp.asarray(o["f"], jnp.float32),
+            jnp.asarray(o["level"]),
+            jnp.asarray(o["grad"], jnp.float32),
+            jnp.asarray(o["species"] == 1),
+            jnp.asarray(self.points.type[pid] == TYPE_TEMPORARY),
+            jnp.asarray(ov),
+            focal=float(self.cam.focal_mean),
+            reproj_thresh=cfg.poseoptim_thresh,
         )
+        frame.T_f_w = se3np.normalize(np.asarray(pout["T_f_w"], np.float64))
+        inlier = np.asarray(pout["inlier"])
+        o["point_id"] = np.where(ov & ~inlier, -1, o["point_id"])
+        o["valid"] &= o["point_id"] >= 0
+        return int(inlier.sum()), float(pout["err_final_px"])
 
     # ------------------------------------------------------------------ blocks
     def _match_point_batch(self, frame: Frame, cand_idx: np.ndarray,
@@ -690,6 +815,7 @@ class FrameHandler:
         o["species"][free] = sd["species"][s_ids]
         o["grad"][free] = np.asarray(mout["grad_cur"])[wsel]
         o["point_id"][free] = pidx
+        self._bump_map_version()          # new TEMPORARY landmarks
         return len(free)
 
     def _refresh_patch_sources(self, frame: Frame) -> None:
@@ -769,23 +895,6 @@ class FrameHandler:
                 for i in self.seed_ring
             ]
         ).astype(np.float32)
-
-    def _depth_filter_sweep(self, frame: Frame) -> int:
-        ring_T = self._ring_poses()
-        ring_exp = np.array(
-            [self.kfs.exposure[i] if i >= 0 else 1.0 for i in self.seed_ring],
-            np.float32,
-        )
-        d = frame.data
-        self.seeds, stats = update_seeds(
-            self.seeds, jnp.asarray(ring_T), jnp.asarray(ring_exp),
-            d["pyr"], d["sobel_x"], d["sobel_y"],
-            jnp.asarray(frame.T_f_w, jnp.float32), frame.exposure,
-            self.px_error_angle, self.cam,
-        )
-        self._last_seed_match_px = np.asarray(stats["px_match"])
-        self._last_seed_matched = np.asarray(stats["matched"])
-        return int(stats["n_updated"])
 
     def _harvest_seeds(self) -> int:
         seeds_before = self.seeds
@@ -965,6 +1074,8 @@ class FrameHandler:
         self.reloc_fail_count = 0
         self.mean_converge_frames = 6.0
         self.pre_frames.clear()
+        self._snap_heavy = None
+        self._bump_map_version()
 
     RELOC_MAX_FAILURES = 30
 

@@ -43,15 +43,29 @@ SNAP_HEAVY = (
     "patch_win", "patch_anchor", "patch_px", "patch_f", "patch_level",
     "patch_grad", "species", "patch_kf",
 )
-#: snapshot keys refreshed every frame (small)
-SNAP_LIGHT = ("pt_valid", "priority", "is_temp")
+#: the per-frame snapshot member: point lifecycle state packed into ONE
+#: int32 array (type in bits 0-2, valid in bit 3) so the host uploads a
+#: single small buffer per frame through the device tunnel
+SNAP_LIGHT = ("light",)
+
+TYPE_TEMPORARY = 1
+
+
+def pack_light(pt_type, pt_valid):
+    import numpy as np
+
+    return (pt_type.astype(np.int32) + 8 * pt_valid.astype(np.int32))
 
 
 @functools.lru_cache(maxsize=8)
 def make_frame_step(cam, grid: tuple, klt_max_level: int, klt_min_level: int,
                     coarse_n_iter: int, pattern_offset: int,
-                    poseoptim_thresh: float):
-    """Build the jitted fused per-frame step for a fixed camera/config."""
+                    poseoptim_thresh: float, n_obs_pad: int = 0):
+    """Build the jitted fused per-frame step for a fixed camera/config.
+
+    ``n_obs_pad`` > C pads the returned ``obs_next`` arrays (and accepted
+    ``prev_obs``) to a fixed slot count so bootstrap/reloc frames with
+    differently-sized observation tables reuse the same trace."""
     cell, gh, gw = grid
     C = gh * gw
 
@@ -63,9 +77,13 @@ def make_frame_step(cam, grid: tuple, klt_max_level: int, klt_min_level: int,
         n_iter=coarse_n_iter, inverse=True, pattern_offset=pattern_offset)
 
     @jax.jit
-    def step(img, prev_pyr, prev_grad_mean, T_prev, prev_obs, a_init,
+    def step(img, prev_pyr, prev_grad_mean, T_prev, prev_obs, prev_intensity,
              exposure_prev, T_init_rel, snap, seeds, px_error_angle):
         data = build_frame_pyramids(img)
+        lt = snap["light"]
+        pt_valid = lt >= 8
+        priority = lt & 7
+        is_temp = priority == TYPE_TEMPORARY
 
         # ---- 1. coarse photometric tracking vs the previous frame ----
         pid = prev_obs["pid"]
@@ -75,6 +93,7 @@ def make_frame_step(cam, grid: tuple, klt_max_level: int, klt_min_level: int,
             jnp.linalg.norm(p_prev, axis=-1), -1.0).astype(jnp.float32)
         # FC vs IC by gradient mean (frame_handler_mono.cpp:184-209)
         use_fc = data["grad_mean"] > prev_grad_mean + 0.5
+        a_init = data["intensity_mean"] / jnp.maximum(prev_intensity, 1e-6)
         targs = (prev_pyr, data["pyr"], prev_obs["px"], prev_obs["f"], dist,
                  T_init_rel, a_init)
         tout = jax.lax.cond(use_fc, lambda a: track_fc(*a),
@@ -88,7 +107,7 @@ def make_frame_step(cam, grid: tuple, klt_max_level: int, klt_min_level: int,
         # one 2C batch (pass 2 = runner-up candidates of failed cells,
         # reprojector.cpp:257-330) ----
         sel = select_candidates(
-            snap["pos_w"], snap["pt_valid"], snap["priority"], T_cur, cam,
+            snap["pos_w"], pt_valid, priority, T_cur, cam,
             cell=cell, grid_h=gh, grid_w=gw)
         cp = jnp.concatenate([
             jnp.where(sel["cell_valid"], sel["cell_point"], 0),
@@ -134,7 +153,7 @@ def make_frame_step(cam, grid: tuple, klt_max_level: int, klt_min_level: int,
         # ---- 3. motion-only pose refinement ----
         pout = optimize_pose(
             T_cur, snap["pos_w"][cid], m_f, m_level, m_grad,
-            m_species == 1, snap["is_temp"][cid], success,
+            m_species == 1, is_temp[cid], success,
             focal=float(cam.focal_mean), reproj_thresh=poseoptim_thresh)
         T_new = pout["T_f_w"]
         inlier = pout["inlier"] & success
@@ -154,7 +173,22 @@ def make_frame_step(cam, grid: tuple, klt_max_level: int, klt_min_level: int,
             data["sobel_x"], data["sobel_y"], T_new, exposure,
             px_error_angle, cam)
 
+        # next frame's tracking reference: this frame's inlier matches,
+        # padded to the fixed observation slot count
+        pad = max(n_obs_pad - C, 0)
+
+        def padded(a):
+            return jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
+
+        obs_next = {
+            "px": padded(m_px),
+            "f": padded(m_f),
+            "pid": padded(cid),
+            "valid": padded(inlier),
+        }
+
         return {
+            "obs_next": obs_next,
             "data": data,
             "T_track": T_cur,
             "T_new": T_new,
@@ -164,6 +198,7 @@ def make_frame_step(cam, grid: tuple, klt_max_level: int, klt_min_level: int,
             "cid": cid,
             "success": success,
             "inlier": inlier,
+            "cv1": sel["cell_valid"],
             "s1": s1,
             "tried2": tried2,
             "s2_used": use2,

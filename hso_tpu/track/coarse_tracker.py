@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from hso_tpu.math import se3
+from hso_tpu.math.linalg_small import solve_spd_small
 from hso_tpu.math.robust import masked_mad_sigma, masked_median
 from hso_tpu.ops.gatherless import (
     bilinear_grid,
@@ -241,7 +242,7 @@ def make_coarse_tracker(
         def lm_body(carry):
             T_c, a_c, lam, E_c, H_c, b_c, nt_c, it, stop = carry
             Hl = H_c + jnp.diag(jnp.diag(H_c)) * lam
-            step = jnp.linalg.solve(Hl, b_c)
+            step = solve_spd_small(Hl, b_c)
             extrap = jnp.where(lam < 1e-3, jnp.sqrt(jnp.sqrt(1e-3 / lam)), 1.0)
             step = step * extrap
             step = jnp.where(jnp.all(jnp.isfinite(step)), step, jnp.zeros_like(step))

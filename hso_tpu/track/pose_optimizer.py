@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from hso_tpu.math import se3
+from hso_tpu.math.linalg_small import solve_spd_small
 from hso_tpu.math.robust import huber_weight, mad_scale_of_abs
 
 EPS = 1e-10
@@ -125,7 +126,7 @@ def optimize_pose(
             T_t, chi2_t, mu_t, nu_t, accepted, stop_t, A_l = tc
             A, b = system(T_t)
             Ad = A + jnp.diag(jnp.diag(A)) * mu_t
-            dT = jnp.linalg.solve(Ad, b)
+            dT = solve_spd_small(Ad, b)
             ok = jnp.all(jnp.isfinite(dT))
             T_new = se3.mul(se3.exp(dT), T_t)
             chi2_new = chi2_of(T_new)
@@ -147,8 +148,14 @@ def optimize_pose(
             accepted = accepted | acc
             return T_t, chi2_t, mu_t, nu_t, accepted, stop_t, A_l
 
-        T_c, chi2_c, mu, nu, accepted, stop, A_last = jax.lax.fori_loop(
-            0, 5, trial, (T_c, chi2_c, mu, nu, jnp.bool_(False), stop, A_last)
+        # trials run under a while_loop so an accepted (or stopped) state
+        # exits immediately instead of paying the remaining masked
+        # system-builds + solves (the reference's inner loop breaks the
+        # same way)
+        T_c, chi2_c, mu, nu, accepted, stop, A_last, _ = jax.lax.while_loop(
+            lambda tc: (~tc[4]) & (~tc[5]) & (tc[7] < 5),
+            lambda tc: trial(0, tc[:7]) + (tc[7] + 1,),
+            (T_c, chi2_c, mu, nu, jnp.bool_(False), stop, A_last, jnp.int32(0)),
         )
         stop = stop | ~accepted
         return T_c, chi2_c, mu, nu, stop, A_last
