@@ -6,6 +6,9 @@ import sys
 
 import numpy as np
 import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 
 sys.path.insert(0, "/root/repo")
@@ -13,7 +16,7 @@ from hso_tpu.cameras import PinholeCamera
 from hso_tpu.math import se3
 from hso_tpu.math.linalg_small import inv2x2
 from hso_tpu.mapping.depth_filter import HOST_WIN, empty_seeds
-from hso_tpu.ops.align import align1d, align_mixed, ncc
+from hso_tpu.ops.align import align_mixed, ncc
 from hso_tpu.ops.epipolar import (EW, MAX_EPL, epipolar_zmncc_search,
                                   pack_level_windows, triangulate_depth)
 from hso_tpu.ops.gatherless import sample_gradient_in_windows
@@ -105,14 +108,12 @@ def sweep(stage, mu, sigma2, img0):
     if stage == 3:
         return jnp.sum(sr["px_best"]) + jnp.sum(good)
 
-    r1 = align1d(None, sr["epl_dir"], ref_border, sr["px_best"], valid=good,
-                 windows=windows, anchors=anchors, img_hw=img_hw, n_iter=6)
-    if stage == 4:
-        return jnp.sum(r1["px"])
+    if stage == 4:      # (the separate align1d pre-pass was removed)
+        return jnp.sum(sr["px_best"]) + jnp.sum(good)
 
-    px_r1 = jnp.where(r1["converged"][:, None], r1["px"], sr["px_best"])
-    rm = align_mixed(species != 0, grad_cur, ref_border, px_r1, valid=good,
-                     windows=windows, anchors=anchors, img_hw=img_hw)
+    rm = align_mixed(species != 0, grad_cur, ref_border, sr["px_best"],
+                     valid=good, windows=windows, anchors=anchors,
+                     img_hw=img_hw)
     score = ncc(ref_patch, rm["cur_patch"])
     if stage == 5:
         return jnp.sum(rm["px"]) + jnp.sum(score)
@@ -128,7 +129,7 @@ def sweep(stage, mu, sigma2, img0):
 import functools
 
 STAGES = ["0 geometry+warpmat", "1 +warp_ref_border", "2 +pack_windows",
-          "3 +zmncc_search", "4 +align1d", "5 +align_mixed+ncc", "6 +grad+triang"]
+          "3 +zmncc_search", "4 (removed)", "5 +align_mixed+ncc", "6 +grad+triang"]
 
 prev = 0.0
 for stage in range(7):

@@ -4,13 +4,16 @@ TUM-format keyframe trajectory output for evo evaluation.
 
     python scripts/run_dataset.py image=<dir> calib=<file> [times=<file>]
         [start=<n>] [end=<n>] [name=<result name>] [cpu=1] [photo=1]
-        [trace=1] [gt=<file>]
+        [trace=1] [gt=<file>] [live=<N>]
 
 ``photo=1`` enables online photometric calibration (response + vignette +
 exposure; for TUM MonoVO-class auto-exposure sequences).
 ``trace=1`` writes per-frame stage timings to result/<name>_trace.csv (the
 reference's HSO_TRACE CSV).  ``gt=<groundtruth>`` prints scale-aligned ATE
-after the run (TUM or EuRoC csv format).
+after the run (TUM or EuRoC csv format).  ``live=N`` refreshes
+result/live/{tracking,map}.png every N frames while the run executes — the
+reference Pangolin viewer / tracking-overlay analogue
+(hso_tpu/utils/live_view.py).
 """
 
 import os
@@ -70,6 +73,11 @@ def main() -> None:
         os.makedirs("result", exist_ok=True)
         vo.enable_tracing(trace_name=f"{args.get('name', 'KeyFrameTrajectory')}_trace",
                           trace_dir="result")
+    viewer = None
+    if args.get("live"):
+        from hso_tpu.utils.live_view import LiveViewer
+
+        viewer = LiveViewer(out_dir="result/live", every=int(args["live"]))
     t0 = time.time()
     n_fail = 0
     if native is not None:
@@ -85,6 +93,8 @@ def main() -> None:
                 np.uint8
             )
         res = vo.add_image(img, ts=float(i))
+        if viewer is not None:
+            viewer.update(vo, img)
         if vo.last_frame is not None:
             vo.last_frame.stamp_str = reader.read_stamp(i)
         n_fail += res.status == "failure"
