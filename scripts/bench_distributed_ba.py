@@ -144,8 +144,25 @@ def main() -> None:
             with open(out_path, "w") as fh:
                 json.dump({
                     "backend": devs[0].platform,
-                    "note": ("virtual CPU mesh — validates collective layout "
-                             "and weak-scaling shape, not real ICI bandwidth"),
+                    "note": (
+                        "virtual CPU mesh (all 'devices' share one physical "
+                        "socket) — validates the collective layout and "
+                        "measures partitioning+psum overhead, not real ICI "
+                        "bandwidth.  Classic weak scaling (constant step "
+                        "time while total work grows with the mesh) is "
+                        "physically impossible on shared hardware: total "
+                        "FLOPs grow n-fold with no added silicon, so "
+                        "step_ms rising with n is the socket saturating, "
+                        "not the algorithm.  The meaningful figure is "
+                        "overhead_efficiency = t(1 device, same total "
+                        "problem)/t(n devices): >= 1.0 everywhere means the "
+                        "point-block sharding + psum of the (6K,6K) camera "
+                        "system costs nothing.  On a real pod slice, "
+                        "per-device work is constant by construction and "
+                        "the only added cost is the psum'd camera system "
+                        "(37 KB at K=16), so ICI-bound efficiency follows "
+                        "overhead_efficiency, not the socket-bound "
+                        "weak_scaling_efficiency column."),
                     "n_kf": n_kf, "n_iter": n_iter,
                     "results": results,
                 }, fh, indent=1)
