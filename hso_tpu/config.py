@@ -42,8 +42,13 @@ class Config:
     coarse_pattern_offset: int = 2  #: first pattern table used at the top level
 
     # ---- static-shape capacities (TPU build only) ----
-    n_fts_max: int = 384            #: feature-slot padding per frame (>= max_fts + margin)
-    n_seeds_max: int = 1536         #: depth-filter seed slots
+    n_fts_max: int = 320            #: feature-slot padding per frame (>= max_fts
+                                    #: + margin, and >= the reprojector cell count
+                                    #: ~1.6·max_fts so a full grid fits)
+    n_seeds_max: int = 1024         #: depth-filter seed slots (≥ n_fts_max ×
+                                    #: max_seed_kf_batches: a batch allocates at
+                                    #: most one seed per detection slot and lives
+                                    #: 3 keyframe batches)
     n_kfs_window: int = 16          #: BA keyframe slots (free + fixed)
     n_points_ba_max: int = 2048     #: BA point slots
     epl_n_steps: int = 32           #: epipolar search samples per seed (ref: <=30 crop +pad)

@@ -257,7 +257,7 @@ def update_seeds(
     geom_ok &= jnp.isfinite(epl_len) & (epl_len > 1e-6)
 
     # edgelet/gradient direction gate (matcher.cpp:903-910)
-    grad_cur = jnp.einsum("nij,nj->ni", A_cur_ref, seeds["grad"])
+    grad_cur = jnp.sum(A_cur_ref * seeds["grad"][:, None, :], axis=-1)
     grad_cur = grad_cur / jnp.maximum(jnp.linalg.norm(grad_cur, axis=-1, keepdims=True), 1e-9)
     cosangle = jnp.abs(jnp.sum(grad_cur * epl, axis=-1) / jnp.maximum(epl_len, 1e-9))
     dir_gate = jnp.where(seeds["species"] != 0, cosangle >= 0.4, True)

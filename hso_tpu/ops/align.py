@@ -100,7 +100,8 @@ def align2d(cur_img, ref_border, px_init, n_iter: int = 10, valid=None,
     wgt = jnp.sqrt(250.0 / (250.0 + dx * dx + dy * dy))
 
     j = jnp.stack([dx, dy, jnp.ones_like(dx)], axis=-1)          # (N,8,8,3)
-    H = jnp.einsum("nyxi,nyxj,nyx->nij", j, j, wgt)
+    H = jnp.sum(j[..., :, None] * j[..., None, :] * wgt[..., None, None],
+                axis=(1, 2))
     H = H * (jnp.eye(3) * 1e-3 + 1.0)
     Hinv = inv3x3(H)
 
@@ -119,9 +120,9 @@ def align2d(cur_img, ref_border, px_init, n_iter: int = 10, valid=None,
         active = active & inb & jnp.isfinite(u) & jnp.isfinite(v)
 
         res = patch - ref + mean_diff[:, None, None]
-        jres = -jnp.einsum("nyx,nyxi,nyx->ni", res, j, wgt)
-        new_chi2 = jnp.einsum("nyx,nyx,nyx->n", res, res, wgt)
-        upd = jnp.einsum("nij,nj->ni", Hinv, jres)
+        jres = -jnp.sum((res * wgt)[..., None] * j, axis=(1, 2))
+        new_chi2 = jnp.sum(res * res * wgt, axis=(1, 2))
+        upd = jnp.sum(Hinv * jres[:, None, :], axis=-1)
 
         u = jnp.where(active, u + upd[:, 0], u)
         v = jnp.where(active, v + upd[:, 1], v)
@@ -161,7 +162,8 @@ def align1d(cur_img, direction, ref_border, px_init, n_iter: int = 10, valid=Non
     wgt = jnp.sqrt(250.0 / (250.0 + jd * jd))
 
     j = jnp.stack([jd, jnp.ones_like(jd)], axis=-1)
-    H = jnp.einsum("nyxi,nyxj,nyx->nij", j, j, wgt)
+    H = jnp.sum(j[..., :, None] * j[..., None, :] * wgt[..., None, None],
+                axis=(1, 2))
     H = H * (jnp.eye(2) * 1e-3 + 1.0)
     Hinv = inv2x2(H)
     h_inv = 1.0 / H[:, 0, 0] * PATCH * PATCH
@@ -181,9 +183,9 @@ def align1d(cur_img, direction, ref_border, px_init, n_iter: int = 10, valid=Non
         active = active & inb & jnp.isfinite(u) & jnp.isfinite(v)
 
         res = patch - ref + mean_diff[:, None, None]
-        jres = -jnp.einsum("nyx,nyxi,nyx->ni", res, j, wgt)
-        new_chi2 = jnp.einsum("nyx,nyx,nyx->n", res, res, wgt)
-        upd = jnp.einsum("nij,nj->ni", Hinv, jres)
+        jres = -jnp.sum((res * wgt)[..., None] * j, axis=(1, 2))
+        new_chi2 = jnp.sum(res * res * wgt, axis=(1, 2))
+        upd = jnp.sum(Hinv * jres[:, None, :], axis=-1)
 
         u = jnp.where(active, u + upd[:, 0] * d[:, 0], u)
         v = jnp.where(active, v + upd[:, 0] * d[:, 1], v)
@@ -227,7 +229,8 @@ def align_mixed(is_edge, direction, ref_border, px_init, n_iter: int = 10,
     # corner system (3-DoF)
     wgt2 = jnp.sqrt(250.0 / (250.0 + dx * dx + dy * dy))
     j3 = jnp.stack([dx, dy, jnp.ones_like(dx)], axis=-1)
-    H3 = jnp.einsum("nyxi,nyxj,nyx->nij", j3, j3, wgt2)
+    H3 = jnp.sum(j3[..., :, None] * j3[..., None, :] * wgt2[..., None, None],
+                 axis=(1, 2))
     H3 = H3 * (jnp.eye(3) * 1e-3 + 1.0)
     Hinv3 = inv3x3(H3)
 
@@ -236,7 +239,8 @@ def align_mixed(is_edge, direction, ref_border, px_init, n_iter: int = 10,
     jd = dx * d[:, None, None, 0] + dy * d[:, None, None, 1]
     wgt1 = jnp.sqrt(250.0 / (250.0 + jd * jd))
     j2 = jnp.stack([jd, jnp.ones_like(jd)], axis=-1)
-    H2 = jnp.einsum("nyxi,nyxj,nyx->nij", j2, j2, wgt1)
+    H2 = jnp.sum(j2[..., :, None] * j2[..., None, :] * wgt1[..., None, None],
+                 axis=(1, 2))
     H2 = H2 * (jnp.eye(2) * 1e-3 + 1.0)
     Hinv2 = inv2x2(H2)
 
@@ -251,11 +255,11 @@ def align_mixed(is_edge, direction, ref_border, px_init, n_iter: int = 10,
         active = active & inb & jnp.isfinite(u) & jnp.isfinite(v)
 
         res = patch - ref + mean_diff[:, None, None]
-        new_chi2 = jnp.einsum("nyx,nyx,nyx->n", res, res, wgt)
-        jres3 = -jnp.einsum("nyx,nyxi,nyx->ni", res, j3, wgt2)
-        jres2 = -jnp.einsum("nyx,nyxi,nyx->ni", res, j2, wgt1)
-        upd3 = jnp.einsum("nij,nj->ni", Hinv3, jres3)
-        upd2 = jnp.einsum("nij,nj->ni", Hinv2, jres2)
+        new_chi2 = jnp.sum(res * res * wgt, axis=(1, 2))
+        jres3 = -jnp.sum((res * wgt2)[..., None] * j3, axis=(1, 2))
+        jres2 = -jnp.sum((res * wgt1)[..., None] * j2, axis=(1, 2))
+        upd3 = jnp.sum(Hinv3 * jres3[:, None, :], axis=-1)
+        upd2 = jnp.sum(Hinv2 * jres2[:, None, :], axis=-1)
 
         du = jnp.where(is_edge, upd2[:, 0] * d[:, 0], upd3[:, 0])
         dv = jnp.where(is_edge, upd2[:, 0] * d[:, 1], upd3[:, 1])

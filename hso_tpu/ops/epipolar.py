@@ -212,9 +212,9 @@ def triangulate_depth(T_cur_ref, f_ref, f_cur):
     Returns (depth, ok)."""
     R = T_cur_ref[..., :3, :3]
     t = T_cur_ref[..., :3, 3]
-    a0 = jnp.einsum("nij,nj->ni", R, f_ref)
+    a0 = jnp.sum(R * f_ref[:, None, :], axis=-1)
     A = jnp.stack([a0, f_cur], axis=-1)                  # (N, 3, 2)
-    AtA = jnp.einsum("nij,nik->njk", A, A)
+    AtA = jnp.sum(A[..., :, None] * A[..., None, :], axis=1)
     det = AtA[:, 0, 0] * AtA[:, 1, 1] - AtA[:, 0, 1] * AtA[:, 1, 0]
     ok = jnp.abs(det) > 1e-6
     det_safe = jnp.where(ok, det, 1.0)
@@ -228,6 +228,6 @@ def triangulate_depth(T_cur_ref, f_ref, f_cur):
         )
         / det_safe[:, None, None]
     )
-    Atb = -jnp.einsum("nij,ni->nj", A, t)
-    lam = jnp.einsum("nij,nj->ni", inv, Atb)
+    Atb = -jnp.sum(A * t[..., None], axis=1)
+    lam = jnp.sum(inv * Atb[:, None, :], axis=-1)
     return jnp.abs(lam[:, 0]), ok

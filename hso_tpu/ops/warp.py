@@ -48,7 +48,7 @@ def warp_matrices(cam_ref, cam_cur, px_ref, f_ref, depth_ref, T_cur_ref, level_r
     def proj(p):
         R = T_cur_ref[..., :3, :3]
         t = T_cur_ref[..., :3, 3]
-        return cam_cur.world2cam(jnp.einsum("nij,nj->ni", R, p) + t)
+        return cam_cur.world2cam(jnp.sum(R * p[:, None, :], axis=-1) + t)
 
     px_cur = proj(xyz_ref)
     col0 = (proj(xyz_du) - px_cur) / half
@@ -100,7 +100,7 @@ def warp_from_stored_windows(
     gx, gy = jnp.meshgrid(g, g)
     pts = jnp.stack([gx.reshape(-1), gy.reshape(-1)], axis=0)
     scale_s = (2.0 ** search_level.astype(jnp.float32))[:, None, None]
-    src = jnp.einsum("nij,jm->nim", A_ref_cur, pts) * scale_s
+    src = jnp.sum(A_ref_cur[..., :, :, None] * pts[None, None, :, :], axis=-2) * scale_s
     lvl_scale = 1.0 / (1 << host_level).astype(jnp.float32)
     hu = src[:, 0, :] + (px_host[:, 0] * lvl_scale - host_anchor[:, 0])[:, None]
     hv = src[:, 1, :] + (px_host[:, 1] * lvl_scale - host_anchor[:, 1])[:, None]

@@ -103,51 +103,79 @@ def make_frame_step(cam, grid: tuple, klt_max_level: int, klt_min_level: int,
         exposure = jnp.where(
             jnp.abs(r - 1.0) < 0.01, exposure_prev, r * exposure_prev)
 
-        # ---- 2. grid selection + batched matching, both budget passes in
-        # one 2C batch (pass 2 = runner-up candidates of failed cells,
-        # reprojector.cpp:257-330) ----
+        # ---- 2. grid selection + batched matching with budget passes
+        # (reprojector.cpp:257-330): pass 1 matches every cell's best
+        # candidate; pass 2 retries the cells whose best FAILED with their
+        # runner-up, compacted into C//2 slots (more simultaneous failures
+        # than that means the frame is in trouble anyway — the reference's
+        # budget walk stops early too) ----
         sel = select_candidates(
             snap["pos_w"], pt_valid, priority, T_cur, cam,
             cell=cell, grid_h=gh, grid_w=gw)
-        cp = jnp.concatenate([
-            jnp.where(sel["cell_valid"], sel["cell_point"], 0),
-            jnp.where(sel["cell_valid2"], sel["cell_point2"], 0)])
-        cp_valid = jnp.concatenate([sel["cell_valid"], sel["cell_valid2"]])
-        pkf = snap["patch_kf"][cp]
-        T_p = snap["kf_poses"][pkf]
-        p_in_patch = se3.apply(T_p, snap["pos_w"][cp])
-        idist_p = 1.0 / jnp.maximum(jnp.linalg.norm(p_in_patch, axis=-1), 1e-9)
-        cand = {
-            "host_win": snap["patch_win"][cp],
-            "host_anchor": snap["patch_anchor"][cp],
-            "host_px": snap["patch_px"][cp],
-            "host_f": snap["patch_f"][cp],
-            "host_level": snap["patch_level"][cp],
-            "grad": snap["patch_grad"][cp],
-            "species": snap["species"][cp],
-            "idist": idist_p.astype(jnp.float32),
-            "T_host_w": T_p,
-            "exposure_host": snap["kf_exposure"][pkf],
-            "valid": cp_valid,
-        }
-        mout = match_points(cand, data["pyr"], data["sobel_x"],
-                            data["sobel_y"], T_cur, exposure, cam)
-        succ = mout["success"] & cp_valid
-        s1 = succ[:C]
-        s2 = succ[C:]
-        tried2 = sel["cell_valid2"] & ~s1
-        use2 = tried2 & s2
+
+        def cand_rows(cp, cp_valid):
+            pkf = snap["patch_kf"][cp]
+            T_p = snap["kf_poses"][pkf]
+            p_in_patch = se3.apply(T_p, snap["pos_w"][cp])
+            idist_p = 1.0 / jnp.maximum(
+                jnp.linalg.norm(p_in_patch, axis=-1), 1e-9)
+            return {
+                "host_win": snap["patch_win"][cp],
+                "host_anchor": snap["patch_anchor"][cp],
+                "host_px": snap["patch_px"][cp],
+                "host_f": snap["patch_f"][cp],
+                "host_level": snap["patch_level"][cp],
+                "grad": snap["patch_grad"][cp],
+                "species": snap["species"][cp],
+                "idist": idist_p.astype(jnp.float32),
+                "T_host_w": T_p,
+                "exposure_host": snap["kf_exposure"][pkf],
+                "valid": cp_valid,
+            }
+
+        cp1 = jnp.where(sel["cell_valid"], sel["cell_point"], 0)
+        m1 = match_points(cand_rows(cp1, sel["cell_valid"]), data["pyr"],
+                          data["sobel_x"], data["sobel_y"], T_cur, exposure,
+                          cam)
+        s1 = m1["success"] & sel["cell_valid"]
+
+        R = C // 2
+        want2 = sel["cell_valid2"] & ~s1
+        # earliest wanting cell per retry slot (deterministic compaction)
+        _, ridx = jax.lax.top_k(
+            jnp.where(want2, C - jnp.arange(C), 0), R)
+        take = want2[ridx]
+        cp2 = jnp.where(take, sel["cell_point2"][ridx], 0)
+        m2 = match_points(cand_rows(cp2, take), data["pyr"],
+                          data["sobel_x"], data["sobel_y"], T_cur, exposure,
+                          cam)
+        s2 = m2["success"] & take
+        # scatter retry results back to their cells (one-hot matmul — tiny)
+        Mr = ((ridx[None, :] == jnp.arange(C)[:, None]) & take[None, :])
+        Mr_f = Mr.astype(jnp.float32)
+
+        def back(a):
+            flat = a.reshape(R, -1).astype(jnp.float32)
+            return (Mr_f @ flat).reshape((C,) + a.shape[1:])
+
+        s2_cell = (Mr & s2[None, :]).any(axis=1)
+        tried2 = (Mr & take[None, :]).any(axis=1)
+        use2 = s2_cell
         success = s1 | use2
 
-        def pick(a):
-            u2 = use2.reshape((C,) + (1,) * (a.ndim - 1))
-            return jnp.where(u2, a[C:], a[:C])
+        def pick(a1, a2):
+            u2 = use2.reshape((C,) + (1,) * (a1.ndim - 1))
+            a2c = back(a2)
+            if a1.dtype != a2c.dtype:
+                a2c = a2c.astype(a1.dtype)
+            return jnp.where(u2, a2c, a1)
 
-        cid = jnp.where(use2, cp[C:], cp[:C])
-        m_px = pick(mout["px"])
-        m_f = pick(mout["f_cur"])
-        m_level = pick(mout["level"])
-        m_grad = pick(mout["grad_cur"])
+        cid = jnp.where(use2, back(cp2.astype(jnp.float32)).astype(jnp.int32),
+                        cp1)
+        m_px = pick(m1["px"], m2["px"])
+        m_f = pick(m1["f_cur"], m2["f_cur"])
+        m_level = pick(m1["level"], m2["level"])
+        m_grad = pick(m1["grad_cur"], m2["grad_cur"])
         m_species = snap["species"][cid]
 
         # ---- 3. motion-only pose refinement ----
@@ -202,8 +230,8 @@ def make_frame_step(cam, grid: tuple, klt_max_level: int, klt_min_level: int,
             "s1": s1,
             "tried2": tried2,
             "s2_used": use2,
-            "cp1": cp[:C],
-            "cp2": cp[C:],
+            "cp1": cp1,
+            "cp2": jnp.where(sel["cell_valid2"], sel["cell_point2"], 0),
             "px": m_px,
             "f_cur": m_f,
             "level": m_level,

@@ -67,7 +67,7 @@ def match_points(
     ref_border = ref_border * exp_ratio[:, None, None]
     ref_patch = ref_border[:, 1:9, 1:9]
 
-    grad_cur = jnp.einsum("nij,nj->ni", A_cur_ref, cand["grad"])
+    grad_cur = jnp.sum(A_cur_ref * cand["grad"][:, None, :], axis=-1)
     grad_cur = grad_cur / jnp.maximum(
         jnp.linalg.norm(grad_cur, axis=-1, keepdims=True), 1e-9
     )

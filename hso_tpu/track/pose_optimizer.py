@@ -108,7 +108,7 @@ def optimize_pose(
         p_t, e, r_edge, r_abs = residuals(T_e)
         wgt = weights(r_edge, r_abs)
         J = _jacobian_uv_xi(p_t) * sqrt_inv_cov[:, None, None]   # (N,2,6)
-        J_edge = jnp.einsum("ni,nij->nj", grad, J)               # (N,6)
+        J_edge = jnp.sum(grad[..., None] * J, axis=1)            # (N,6)
         e_edge = r_edge
         A_e = jnp.einsum("ni,nj,n->ij", J_edge, J_edge, jnp.where(is_edgelet, wgt, 0.0))
         b_e = -jnp.einsum("ni,n,n->i", J_edge, e_edge, jnp.where(is_edgelet, wgt, 0.0))
