@@ -19,9 +19,9 @@ def solve_spd_small(A: jnp.ndarray, b: jnp.ndarray,
     call on TPU even at 7×7 — inside LM iteration loops (coarse tracker,
     pose optimizer) that dominates the whole stage.  The unrolled form is a
     few dozen fused scalar ops.  Damped Gauss-Newton systems are SPD by
-    construction; ``eps`` guards rank-deficient corners (the caller's
-    finite-check handles genuinely singular systems, matching the previous
-    behaviour where ``linalg.solve`` returned inf/nan).
+    construction; ``eps`` guards rank-deficient-but-positive corners, while
+    a genuinely non-positive pivot propagates NaN so the callers' finite
+    checks reject the step (the semantics ``jnp.linalg.solve`` had).
     """
     n = A.shape[-1]
     L = [[None] * n for _ in range(n)]
@@ -29,7 +29,7 @@ def solve_spd_small(A: jnp.ndarray, b: jnp.ndarray,
         s = A[..., j, j]
         for k in range(j):
             s = s - L[j][k] * L[j][k]
-        d = jnp.sqrt(jnp.maximum(s, eps))
+        d = jnp.sqrt(jnp.where(s <= 0, jnp.nan, jnp.maximum(s, eps)))
         L[j][j] = d
         inv_d = 1.0 / d
         for i in range(j + 1, n):

@@ -333,14 +333,21 @@ def _gather_cells(img: jnp.ndarray, gy: jnp.ndarray, gx: jnp.ndarray) -> jnp.nda
     return jnp.take(flat, idx.reshape(-1), axis=0).reshape(gy.shape).astype(jnp.float32)
 
 
+@functools.partial(jax.jit, static_argnames=("h", "w", "cell0"))
 def occupancy_grid(px, valid, h: int, w: int, cell0: int):
     """Mark cells containing existing features (setExistingFeatures analogue).
 
-    px: (N, 2) level-0 coords. Returns (Cy, Cx) bool. Uses a scatter — N is
-    small (≤ n_fts_max)."""
+    px: (N, 2) level-0 coords. Returns (Cy, Cx) bool.  Scatter-free: a
+    (N, C) cell-membership comparison reduced over N — XLA CPU's scatter
+    lowering for the 2-D ``.at[iy, ix].max`` form costs SECONDS to compile
+    (and the eager form recompiled per input length); the dense compare is
+    a trivially-vectorized reduction at these sizes (N ≤ n_fts_max,
+    C ≤ ~300).  Callers must pass a FIXED-length px/valid pair (pad with
+    valid=False) so the trace is reused."""
     cy = -(-h // cell0)
     cx = -(-w // cell0)
     ix = jnp.clip((px[:, 0] // cell0).astype(jnp.int32), 0, cx - 1)
     iy = jnp.clip((px[:, 1] // cell0).astype(jnp.int32), 0, cy - 1)
-    grid = jnp.zeros((cy, cx), bool)
-    return grid.at[iy, ix].max(valid)
+    cidx = iy * cx + ix
+    hit = (cidx[:, None] == jnp.arange(cy * cx, dtype=jnp.int32)[None, :])
+    return (hit & valid[:, None]).any(axis=0).reshape(cy, cx)

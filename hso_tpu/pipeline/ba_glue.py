@@ -137,6 +137,11 @@ def run_local_ba(handler, center) -> dict | None:
             if t is None:
                 continue
             ko = frames[kf_idx].obs
+            # at most one live observation per (point, keyframe) — a second
+            # write would silently clobber this cell's measurement while
+            # n_obs counted both, corrupting the BA input
+            assert not valid[s, t], (
+                f"duplicate observation of point {p} in keyframe {kf_idx}")
             f = ko["f"][i]
             meas[s, t] = f[:2] / max(f[2], 1e-9)
             grad[s, t] = ko["grad"][i]
@@ -200,6 +205,9 @@ def run_local_ba(handler, center) -> dict | None:
             handler.kfs.sync_pose(kf_idx, se3np.normalize(T_new[s]))
             if kf_idx == center.kf_index:
                 center.T_f_w = handler.kfs.poses[kf_idx]
+                # the device-side pose cache predates the BA correction —
+                # invalidate so the next frame tracks from the adjusted pose
+                center.T_dev = None
     id_new = np.asarray(out["idist"])
     for p, s in point_slot.items():
         if id_new[s] > 1e-10:

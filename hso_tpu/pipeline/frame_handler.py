@@ -114,6 +114,10 @@ class FrameHandler:
         # a single fixed-shape dispatch (deliberate TPU deviation).
         cell = max(int(np.sqrt(cam.width * cam.height / self.cfg.max_fts) * 0.8), 16)
         self._grid = (cell, -(-cam.height // cell), -(-cam.width // cell))
+        # the fused step writes up to C kept matches into the frame's obs
+        # slots and pads obs_next to the same count — size the tables to
+        # whichever is larger so a small-cell grid can never overflow them
+        self._n_obs_pad = max(self.cfg.n_fts_max, self._grid[1] * self._grid[2])
         self._occ_cell = 32
         self._init_px = None
         # retained recent frames for pre-frame seed backfill (the reference
@@ -132,6 +136,13 @@ class FrameHandler:
         self._map_version = 0
         self._snap_heavy = None
         self._snap_heavy_version = -1
+        self._snap_light = None
+        self._snap_light_version = -1
+        # device-side point success/fail accumulators (2, p_max), drained at
+        # keyframe events (_apply_lifecycle) — the per-frame host loop never
+        # syncs them (one ~24 ms tunnel round-trip per sync)
+        self._acc = None
+        self._px_err_dev = None
         # per-stage tracing (the reference's HSO_TRACE PerformanceMonitor,
         # frame_handler_base.cpp:54-81); enable via enable_tracing() or the
         # HSO_TRACE env var
@@ -178,7 +189,7 @@ class FrameHandler:
             timestamp=ts,
             T_f_w=se3np.identity(),
             data=data,
-            obs=empty_obs(self.cfg.n_fts_max),
+            obs=empty_obs(self._n_obs_pad),
         )
         f.grad_mean = float(data["grad_mean"])
         f.intensity_mean = float(data["intensity_mean"])
@@ -191,9 +202,15 @@ class FrameHandler:
         if occupied_px is None or len(occupied_px) == 0:
             occ = jnp.zeros((cy, cx), bool)
         else:
+            # pad to a fixed slot count: a per-keyframe occupied count would
+            # retrace occupancy_grid every call
+            n_pad = self._n_obs_pad * 2
+            px = np.zeros((n_pad, 2), np.float32)
+            n = min(len(occupied_px), n_pad)
+            px[:n] = occupied_px[:n]
+            vmask = np.arange(n_pad) < n
             occ = occupancy_grid(
-                jnp.asarray(occupied_px, jnp.float32),
-                jnp.ones(len(occupied_px), bool), h, w, cell0,
+                jnp.asarray(px), jnp.asarray(vmask), h, w, cell0,
             )
         d = frame.data
         return detect_features(
@@ -214,7 +231,7 @@ class FrameHandler:
             frame = Frame(
                 frame_id=self.frame_count, timestamp=ts,
                 T_f_w=se3np.identity(), data=None,
-                obs=empty_obs(self.cfg.n_fts_max),
+                obs=empty_obs(self._n_obs_pad),
             )
             res = self._process_default(frame, img_in)
         else:
@@ -372,7 +389,13 @@ class FrameHandler:
         coarse track, grid select + two-pass matching, pose LM, depth-filter
         sweep — hso_tpu/pipeline/fused_step.py) followed by host-only
         bookkeeping.  The reference's analogue is one tracking-thread pass,
-        frame_handler_mono.cpp:173-355."""
+        frame_handler_mono.cpp:173-355.
+
+        Host↔device traffic per steady-state frame is ONE sync (the 24-float
+        ``packed`` scalar vector) plus the async image upload: per-slot match
+        results are fetched lazily at keyframe/sparse events
+        (``_writeback_obs``) and point success/fail counters accumulate on
+        device until a keyframe drains them (``_apply_lifecycle``)."""
         import jax
 
         cfg = self.cfg
@@ -392,80 +415,52 @@ class FrameHandler:
         prev_it = getattr(last, "intensity_dev", None)
         if prev_it is None:
             prev_it = jnp.float32(last.intensity_mean)
+        exp_prev = getattr(last, "exp_dev", None)
+        if exp_prev is None:
+            exp_prev = jnp.float32(last.exposure)
+        if self._px_err_dev is None:
+            self._px_err_dev = jnp.float32(self.px_error_angle)
+        if self._acc is None:
+            self._acc = jnp.zeros((2, self.points.p_max), jnp.int32)
 
         with self._t("fused_frame_step"):
             out = step(
                 jnp.asarray(img), last.data["pyr"], prev_gm, T_prev, prev_obs,
-                prev_it, jnp.float32(last.exposure),
+                prev_it, exp_prev,
                 jnp.asarray(self.motion_model, jnp.float32), snap, self.seeds,
-                jnp.float32(self.px_error_angle),
+                self._px_err_dev, self._acc,
             )
-            host = jax.device_get({k: out[k] for k in (
-                "T_new", "exposure", "n_matches", "n_inliers", "err_px",
-                "success", "inlier", "cid", "px", "f_cur", "level", "grad_cur",
-                "species", "cv1", "s1", "tried2", "s2_used", "cp1", "cp2",
-                "depth_mean", "depth_min", "distance_mean",
-                "n_seeds_updated", "seed_match_px", "seed_matched",
-            )})
+            packed = np.asarray(out["packed"], np.float64)  # the ONE sync
 
+        self._acc = out["acc"]
         frame.data = out["data"]
         frame.grad_mean_dev = out["data"]["grad_mean"]
         frame.intensity_dev = out["data"]["intensity_mean"]
         frame.T_dev = out["T_new"]
         frame.obs_dev = out["obs_next"]
-        frame.T_f_w = se3np.normalize(np.asarray(host["T_new"], np.float64))
-        frame.exposure = float(host["exposure"])
+        frame.exp_dev = out["exposure"]
+        frame.T_f_w = se3np.normalize(packed[:12].reshape(3, 4))
+        frame.exposure = float(packed[12])
+        frame.grad_mean = float(packed[22])
+        frame.intensity_mean = float(packed[23])
 
-        # ---- point lifecycle counters + obs writeback (host) ----
-        pts = self.points
-        for cand, tried, succ_m in (
-            (host["cp1"], host["cv1"], host["s1"]),
-            (host["cp2"], host["tried2"], host["s2_used"]),
-        ):
-            good_ids = cand[tried & succ_m]
-            fail_ids = cand[tried & ~succ_m]
-            pts.n_succ[good_ids] += 1
-            pts.n_fail[fail_ids] += 1
-            kill = fail_ids[
-                (pts.type[fail_ids] == TYPE_TEMPORARY) & (pts.n_fail[fail_ids] > 3)
-            ]
-            self.points.release(kill)
-            kill2 = fail_ids[
-                (pts.type[fail_ids] == TYPE_UNKNOWN) & (pts.n_fail[fail_ids] > 15)
-            ]
-            self.points.release(kill2)
-            promote = good_ids[
-                (pts.type[good_ids] == TYPE_UNKNOWN) & (pts.n_succ[good_ids] > 10)
-            ]
-            pts.type[promote] = TYPE_GOOD
+        n_matches = int(packed[13])
+        n_inliers = int(packed[14])
+        err_px = float(packed[15])
 
-        o = frame.obs
-        keep = host["success"] & host["inlier"]
-        w = np.where(keep)[0]
-        rows = slice(0, len(w))
-        o["valid"][rows] = True
-        o["px"][rows] = host["px"][w]
-        o["f"][rows] = host["f_cur"][w]
-        o["level"][rows] = host["level"][w]
-        o["species"][rows] = host["species"][w]
-        o["grad"][rows] = host["grad_cur"][w]
-        o["point_id"][rows] = host["cid"][w]
-
-        n_matches = int(host["n_matches"])
-        n_inliers = int(host["n_inliers"])
-        err_px = float(host["err_px"])
-
-        if n_matches < cfg.quality_min_fts:
-            frame.T_f_w = last.T_f_w.copy()
-            self.stage = STAGE_RELOC
-            return FrameResult(RESULT_FAILURE, frame.T_f_w, n_matches=n_matches)
+        synced = False
+        if n_matches < 100 or self.photo is not None:
+            self._writeback_obs(frame, out)
+            synced = True
 
         if n_matches < 100:
             # sparse frame: also match unconverged depth-filter seeds,
             # creating TEMPORARY points (Reprojector::reprojectorSeeds,
             # reprojector.cpp:309-328,431-502), then refine the pose over the
             # combined observation set (extra dispatches on sparse frames
-            # only; the in-step seed sweep used the pre-refinement pose)
+            # only; the in-step seed sweep used the pre-refinement pose).
+            # The seed rescue runs BEFORE the quality gate — it exists
+            # precisely to rescue feature-starved frames.
             n_temp = self._reproject_seeds(frame, n_matches)
             if n_temp:
                 n_matches += n_temp
@@ -473,7 +468,7 @@ class FrameHandler:
                 frame.T_dev = None
                 frame.obs_dev = None
 
-        if n_inliers < cfg.quality_min_fts:
+        if n_matches < cfg.quality_min_fts or n_inliers < cfg.quality_min_fts:
             frame.T_f_w = last.T_f_w.copy()
             self.stage = STAGE_RELOC
             return FrameResult(RESULT_FAILURE, frame.T_f_w, n_matches, n_inliers)
@@ -483,17 +478,14 @@ class FrameHandler:
         )
         self.n_last_inliers = n_inliers
 
-        depth_mean = float(host["depth_mean"]) if np.isfinite(host["depth_mean"]) else 1.0
-        depth_min = float(host["depth_min"]) if np.isfinite(host["depth_min"]) else 0.1
-        distance_mean = (float(host["distance_mean"])
-                         if np.isfinite(host["distance_mean"]) else 1.0)
+        depth_mean = float(packed[16]) if np.isfinite(packed[16]) else 1.0
+        depth_min = float(packed[17]) if np.isfinite(packed[17]) else 0.1
+        distance_mean = float(packed[18]) if np.isfinite(packed[18]) else 1.0
 
         # seed sweep results (accepted only on non-failure paths, like the
         # reference mapping queue that never sees failed frames)
         self.seeds = out["seeds"]
-        n_upd = int(host["n_seeds_updated"])
-        self._last_seed_match_px = host["seed_match_px"]
-        self._last_seed_matched = host["seed_matched"]
+        n_upd = int(packed[19])
 
         # ---- keyframe decision ----  (the frame right after bootstrap is
         # forced to be a keyframe: afterInit_, frame_handler_mono.cpp:275-294)
@@ -503,8 +495,14 @@ class FrameHandler:
         if is_kf:
             result = RESULT_KEYFRAME
             self.regular_counter = 0
+            if not synced:
+                self._writeback_obs(frame, out)
+            self._apply_lifecycle(frame)
+            self._last_seed_match_px = np.asarray(out["seed_match_px"])
+            self._last_seed_matched = np.asarray(out["seed_matched"])
             kf_idx = self.kfs.add(frame)
             # CANDIDATE points observed here become UNKNOWN (addCandidatePointToFrame)
+            o = frame.obs
             seen = o["point_id"][o["valid"]]
             cand = seen[self.points.type[seen] == TYPE_CANDIDATE]
             self.points.type[cand] = TYPE_UNKNOWN
@@ -531,6 +529,57 @@ class FrameHandler:
         return FrameResult(result, frame.T_f_w, n_matches, n_inliers, n_upd,
                            err_px)
 
+    def _writeback_obs(self, frame: Frame, out) -> None:
+        """Fetch the fused step's packed per-slot results (ONE transfer) and
+        fill the frame's host observation table with the kept matches."""
+        sp = np.asarray(out["slot_pack"])
+        flags = sp[:, 10].astype(np.int32)
+        keep = (flags & 3) == 3          # success & inlier
+        w = np.where(keep)[0]
+        o = frame.obs
+        rows = slice(0, len(w))
+        o["valid"][rows] = True
+        o["px"][rows] = sp[w, 0:2]
+        o["f"][rows] = sp[w, 2:5]
+        o["level"][rows] = sp[w, 7].astype(np.int32)
+        o["species"][rows] = sp[w, 8].astype(np.int32)
+        o["grad"][rows] = sp[w, 5:7]
+        o["point_id"][rows] = sp[w, 9].astype(np.int32)
+
+    def _apply_lifecycle(self, frame: Frame | None = None) -> None:
+        """Drain the device success/fail accumulators into the host point
+        table and apply the lifecycle rules (reprojector.cpp:373-387:
+        TEMPORARY dies after >3 failures, UNKNOWN after >15; UNKNOWN with
+        >10 successes becomes GOOD).  Deferred to keyframe events so the
+        per-frame host loop never syncs the counters — the same lag the
+        reference's asynchronous mapping thread exhibits."""
+        if self._acc is None:
+            return
+        acc = np.asarray(self._acc)
+        pts = self.points
+        if acc.any():
+            pts.n_succ += acc[0]
+            pts.n_fail += acc[1]
+            touched = acc[1] > 0
+            kill = np.nonzero(touched & pts.valid & (
+                ((pts.type == TYPE_TEMPORARY) & (pts.n_fail > 3))
+                | ((pts.type == TYPE_UNKNOWN) & (pts.n_fail > 15))))[0]
+            pts.release(kill)
+            promote = np.nonzero((acc[0] > 0) & pts.valid
+                                 & (pts.type == TYPE_UNKNOWN)
+                                 & (pts.n_succ > 10))[0]
+            pts.type[promote] = TYPE_GOOD
+            self._acc = jnp.zeros((2, pts.p_max), jnp.int32)
+            # scrub obs rows of the current frame that reference points the
+            # drain just released (its rows are not yet in the inverted
+            # index, so release() could not invalidate them)
+            if frame is not None and frame.obs is not None:
+                o = frame.obs
+                pid = np.where(o["point_id"] >= 0, o["point_id"], 0)
+                bad = o["valid"] & ~pts.valid[pid]
+                o["valid"][bad] = False
+                o["point_id"][bad] = -1
+
     def _fused_step(self):
         from hso_tpu.pipeline.fused_step import make_frame_step
 
@@ -538,7 +587,7 @@ class FrameHandler:
         return make_frame_step(
             self.cam, self._grid, cfg.klt_max_level, cfg.klt_min_level,
             cfg.coarse_n_iter, cfg.coarse_pattern_offset,
-            cfg.poseoptim_thresh, n_obs_pad=cfg.n_fts_max)
+            cfg.poseoptim_thresh, n_obs_pad=self._n_obs_pad)
 
     def _bump_map_version(self) -> None:
         self._map_version += 1
@@ -570,8 +619,11 @@ class FrameHandler:
                 "patch_kf": jnp.asarray(pts.patch_kf),
             }
             self._snap_heavy_version = self._map_version
+        if self._snap_light is None or self._snap_light_version != self._map_version:
+            self._snap_light = jnp.asarray(pack_light(pts.type, pts.valid))
+            self._snap_light_version = self._map_version
         snap = dict(self._snap_heavy)
-        snap["light"] = jnp.asarray(pack_light(pts.type, pts.valid))
+        snap["light"] = self._snap_light
         return snap
 
     def _prev_obs_dev(self, last: Frame) -> dict:
@@ -1075,6 +1127,10 @@ class FrameHandler:
         self.mean_converge_frames = 6.0
         self.pre_frames.clear()
         self._snap_heavy = None
+        self._snap_light = None
+        self._acc = None
+        self._last_seed_match_px = None
+        self._last_seed_matched = None
         self._bump_map_version()
 
     RELOC_MAX_FAILURES = 30
@@ -1122,6 +1178,13 @@ class FrameHandler:
                 se3np.mul(np.asarray(tout["T_cur_ref"], np.float64), ref.T_f_w)
             )
             self.stage = STAGE_DEFAULT
+            # the keyframe's device caches are stale (poses BA-corrected
+            # since, obs pids possibly recycled by gc) — drop them so the
+            # fused step reads the live host state
+            for a in ("T_dev", "obs_dev", "exp_dev", "grad_mean_dev",
+                      "intensity_dev"):
+                if hasattr(ref, a):
+                    setattr(ref, a, None)
             self.last_frame = ref
             return self._process_default(frame)
         # escalate: photometric reloc against the chosen keyframe failed —
@@ -1136,7 +1199,7 @@ class FrameHandler:
         frame.exposure = getattr(self.last_frame, "exposure", 1.0)
         n = n_inl = 0
         for attempt in range(4):
-            frame.obs = empty_obs(self.cfg.n_fts_max)
+            frame.obs = empty_obs(self._n_obs_pad)
             n = self._reproject(frame)
             if n < 8:
                 return FrameResult(RESULT_FAILURE, frame.T_f_w, n_matches=n)

@@ -78,7 +78,7 @@ def make_frame_step(cam, grid: tuple, klt_max_level: int, klt_min_level: int,
 
     @jax.jit
     def step(img, prev_pyr, prev_grad_mean, T_prev, prev_obs, prev_intensity,
-             exposure_prev, T_init_rel, snap, seeds, px_error_angle):
+             exposure_prev, T_init_rel, snap, seeds, px_error_angle, acc):
         data = build_frame_pyramids(img)
         lt = snap["light"]
         pt_valid = lt >= 8
@@ -215,7 +215,58 @@ def make_frame_step(cam, grid: tuple, klt_max_level: int, klt_min_level: int,
             "valid": padded(inlier),
         }
 
+        # ---- 6. host-sync packing.  The axon tunnel costs ~24 ms per
+        # device→host sync, so the per-frame host readback must be ONE
+        # transfer: every scalar the host branches on goes into `packed`
+        # (ints < 2^24 are exact in f32), and the per-slot results the host
+        # needs only at keyframe/sparse events go into `slot_pack` (fetched
+        # lazily).  Point success/fail counters accumulate ON DEVICE in
+        # `acc` and are drained at keyframe events — point lifecycle
+        # transitions (kill/promote) therefore land at keyframes instead of
+        # per frame, the same lag the reference's async mapping thread has
+        # (/root/reference/src/depth_filter.cpp:242-328). ----
+        cp2f = jnp.where(sel["cell_valid2"], sel["cell_point2"], 0)
+        acc_new = (acc
+                   .at[0, cp1].add(s1.astype(jnp.int32))
+                   .at[0, cp2f].add((tried2 & use2).astype(jnp.int32))
+                   .at[1, cp1].add((sel["cell_valid"] & ~s1).astype(jnp.int32))
+                   .at[1, cp2f].add((tried2 & ~use2).astype(jnp.int32)))
+
+        packed = jnp.concatenate([
+            T_new.reshape(-1).astype(jnp.float32),            # 0:12
+            jnp.stack([
+                exposure,                                     # 12
+                jnp.sum(success.astype(jnp.float32)),         # 13 n_matches
+                jnp.sum(inlier.astype(jnp.float32)),          # 14 n_inliers
+                pout["err_final_px"],                         # 15
+                depth_mean, depth_min, distance_mean,         # 16,17,18
+                sstats["n_updated"].astype(jnp.float32),      # 19
+                tout["n_tracked"].astype(jnp.float32),        # 20
+                r,                                            # 21 exposure ratio
+                data["grad_mean"],                            # 22
+                data["intensity_mean"],                       # 23
+            ]).astype(jnp.float32),
+        ])
+        flags = (success.astype(jnp.int32)
+                 + 2 * inlier.astype(jnp.int32)
+                 + 4 * sel["cell_valid"].astype(jnp.int32)
+                 + 8 * s1.astype(jnp.int32)
+                 + 16 * tried2.astype(jnp.int32)
+                 + 32 * use2.astype(jnp.int32))
+        slot_pack = jnp.concatenate([
+            m_px,                                             # 0,1
+            m_f,                                              # 2,3,4
+            m_grad,                                           # 5,6
+            m_level[:, None].astype(jnp.float32),             # 7
+            m_species[:, None].astype(jnp.float32),           # 8
+            cid[:, None].astype(jnp.float32),                 # 9
+            flags[:, None].astype(jnp.float32),               # 10
+        ], axis=-1)
+
         return {
+            "packed": packed,
+            "slot_pack": slot_pack,
+            "acc": acc_new,
             "obs_next": obs_next,
             "data": data,
             "T_track": T_cur,

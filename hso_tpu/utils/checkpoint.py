@@ -61,10 +61,16 @@ def save_checkpoint(handler, path: str) -> None:
     np.savez(path, **blobs)
 
 
-def load_checkpoint(handler, path: str) -> None:
-    """Restore map state into a fresh FrameHandler (same cam/config)."""
+def load_checkpoint(handler, path: str, resume_stage: str | None = None) -> None:
+    """Restore map state into a fresh FrameHandler (same cam/config).
+
+    ``resume_stage="default"`` resumes straight into the default tracking
+    path (valid only when the next fed frame is temporally adjacent to the
+    checkpointed last keyframe, whose pyramid is stored — e.g. the bench
+    bootstrap snapshot); the default ``None`` re-enters via RELOCALIZING,
+    the safe choice after arbitrary downtime."""
     from hso_tpu.mapmodel.structures import Frame, empty_obs
-    from hso_tpu.pipeline.frame_handler import STAGE_RELOC
+    from hso_tpu.pipeline.frame_handler import STAGE_DEFAULT, STAGE_RELOC
 
     z = np.load(path, allow_pickle=False)
     pts = handler.points
@@ -100,7 +106,7 @@ def load_checkpoint(handler, path: str) -> None:
     n_kf = int(z["kf_count"])
     handler.kfs.frames = []
     for i in range(n_kf):
-        obs = empty_obs(handler.cfg.n_fts_max)
+        obs = empty_obs(handler._n_obs_pad)
         for k in obs:
             obs[k] = z[f"kf{i}_obs_{k}"].copy()
         f = Frame(
@@ -138,4 +144,8 @@ def load_checkpoint(handler, path: str) -> None:
     handler.motion_model = z["motion_model"].copy()
     handler.mean_converge_frames = float(z["mean_converge_frames"])
     handler.last_frame = handler.kfs.frames[-1] if handler.kfs.frames else None
-    handler.stage = STAGE_RELOC
+    if (resume_stage == "default" and handler.last_frame is not None
+            and handler.last_frame.data is not None):
+        handler.stage = STAGE_DEFAULT
+    else:
+        handler.stage = STAGE_RELOC
