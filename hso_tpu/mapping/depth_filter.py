@@ -463,8 +463,12 @@ def harvest_and_prune(seeds, batch_counter, host_T_w=None, max_batches: int = 3,
     disagreement (> 2.5 / 2.0 px) keeps the filtered estimate instead of
     the multi-view refinement (:840-843).
 
-    Returns (seeds', converged mask, converged snapshot fields, stale mask —
-    rejected seeds are folded into stale so their TEMPORARY points die)."""
+    Returns (seeds', bundle) where ``bundle`` is a single (S, 15) float32
+    array packing [converged, stale, host, px(2), f(3), level, species,
+    grad(2), mu, temp_point, n_updates] — ONE device→host transfer covers
+    everything the host-side harvest needs (each ~24 ms tunnel round-trip
+    saved matters at keyframe rate); rejected seeds are folded into stale
+    so their TEMPORARY points die."""
     sigma = jnp.sqrt(jnp.maximum(seeds["sigma2"], 0.0))
     converged = seeds["valid"] & (
         sigma < seeds["z_range"] / jnp.maximum(seeds["converge_thresh"], 1e-6)
@@ -489,10 +493,31 @@ def harvest_and_prune(seeds, batch_counter, host_T_w=None, max_batches: int = 3,
     )
     out = dict(seeds)
     out["valid"] = seeds["valid"] & ~converged & ~stale
-    snapshot = {
-        "host": seeds["host"], "px": seeds["px"], "f": seeds["f"],
-        "level": seeds["level"], "species": seeds["species"],
-        "grad": seeds["grad"], "mu": mu, "sigma2": seeds["sigma2"],
-        "temp_point": seeds["temp_point"],
-    }
-    return out, converged, snapshot, stale
+    f32 = jnp.float32
+    bundle = jnp.concatenate([
+        converged[:, None].astype(f32),             # 0
+        stale[:, None].astype(f32),                 # 1
+        seeds["host"][:, None].astype(f32),         # 2
+        seeds["px"],                                # 3,4
+        seeds["f"],                                 # 5,6,7
+        seeds["level"][:, None].astype(f32),        # 8
+        seeds["species"][:, None].astype(f32),      # 9
+        seeds["grad"],                              # 10,11
+        mu[:, None].astype(f32),                    # 12
+        seeds["temp_point"][:, None].astype(f32),   # 13
+        seeds["n_updates"][:, None].astype(f32),    # 14
+    ], axis=-1)
+    return out, bundle
+
+
+@jax.jit
+def gather_seed_windows(host_win, host_anchor, idx):
+    """Device-side row gather so the host fetches only the converged seeds'
+    appearance windows (the full ring is ~8 MB; a keyframe converges tens).
+    Windows and anchors are flattened into ONE (n, W·W+2) buffer — one
+    tunnel round-trip instead of two."""
+    n = idx.shape[0]
+    return jnp.concatenate([
+        host_win[idx].reshape(n, -1),
+        host_anchor[idx].astype(jnp.float32),
+    ], axis=-1)

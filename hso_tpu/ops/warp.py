@@ -138,3 +138,14 @@ def memoize_level_windows(pyr, px, level, win: int = 24, n_levels: int = 3):
         out_w = jnp.where(sel[:, None, None], w_l, out_w)
         out_a = jnp.where(sel[:, None], jnp.stack([au, av], -1), out_a)
     return out_w, out_a
+
+
+@functools.partial(jax.jit, static_argnames=("win", "n_levels"))
+def memoize_level_windows_packed(pyr, px, level, win: int = 24,
+                                 n_levels: int = 3):
+    """memoize_level_windows with windows+anchors flattened into ONE
+    (N, win·win+2) buffer — a single device→host transfer where the tunnel
+    charges ~24 ms per fetch."""
+    w, a = memoize_level_windows(pyr, px, level, win=win, n_levels=n_levels)
+    n = w.shape[0]
+    return jnp.concatenate([w.reshape(n, -1), a.astype(jnp.float32)], axis=-1)

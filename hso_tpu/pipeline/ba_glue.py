@@ -19,10 +19,23 @@ setup/teardown halves of ``ba::LocalBundleAdjustment``
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from hso_tpu.ba.local_ba import local_bundle_adjustment
 from hso_tpu.math import se3np
+
+
+@jax.jit
+def _pack_ba_out(T_kf, idist, obs_inlier, chi2_init, chi2_final):
+    """Flatten the solver outputs the host consumes into ONE buffer — five
+    separate fetches cost five ~24 ms tunnel round-trips per keyframe."""
+    return jnp.concatenate([
+        T_kf.reshape(-1).astype(jnp.float32),
+        idist.astype(jnp.float32),
+        obs_inlier.reshape(-1).astype(jnp.float32),
+        jnp.stack([chi2_init, chi2_final]).astype(jnp.float32),
+    ])
 
 
 def covisible_keyframes(handler, center) -> list[int]:
@@ -198,8 +211,15 @@ def run_local_ba(handler, center) -> dict | None:
             strip_px=float(cfg.loba_thresh),
         )
 
-    # ---- writeback ----
-    T_new = np.asarray(out["T_kf"], np.float64)
+    # ---- writeback (ONE device→host transfer for all solver outputs) ----
+    buf = np.asarray(_pack_ba_out(out["T_kf"], out["idist"],
+                                  out["obs_inlier"], out["chi2_init"],
+                                  out["chi2_final"]), np.float64)
+    nT = K * 12
+    T_new = buf[:nT].reshape(K, 3, 4)
+    id_new = buf[nT:nT + P]
+    inl = buf[nT + P:nT + P + P * K].reshape(P, K) > 0.5
+    chi2_init, chi2_final = buf[-2], buf[-1]
     for kf_idx, s in kf_slot.items():
         if free[s]:
             handler.kfs.sync_pose(kf_idx, se3np.normalize(T_new[s]))
@@ -208,12 +228,9 @@ def run_local_ba(handler, center) -> dict | None:
                 # the device-side pose cache predates the BA correction —
                 # invalidate so the next frame tracks from the adjusted pose
                 center.T_dev = None
-    id_new = np.asarray(out["idist"])
     for p, s in point_slot.items():
         if id_new[s] > 1e-10:
             pts.idist[p] = id_new[s]
-
-    inl = np.asarray(out["obs_inlier"])
     n_strip = 0
     bad = np.nonzero(~inl & (src_kf >= 0))
     for s, t in zip(*bad):
@@ -227,6 +244,6 @@ def run_local_ba(handler, center) -> dict | None:
         "n_points": len(point_set),
         "n_kfs": len(kf_slot),
         "n_stripped": n_strip,
-        "chi2_init": float(out["chi2_init"]),
-        "chi2_final": float(out["chi2_final"]),
+        "chi2_init": float(chi2_init),
+        "chi2_final": float(chi2_final),
     }

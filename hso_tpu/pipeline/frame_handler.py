@@ -143,6 +143,11 @@ class FrameHandler:
         # syncs them (one ~24 ms tunnel round-trip per sync)
         self._acc = None
         self._px_err_dev = None
+        # rows whose patch/species data changed since the last heavy-snapshot
+        # upload: the device mirror is patched with a row scatter instead of
+        # re-uploading the full ~9 MB patch_win table every keyframe.  Every
+        # writer of PointTable.patch_*/species MUST _mark_dirty its rows.
+        self._dirty_rows: set[int] = set()
         # per-stage tracing (the reference's HSO_TRACE PerformanceMonitor,
         # frame_handler_base.cpp:54-81); enable via enable_tracing() or the
         # HSO_TRACE env var
@@ -352,6 +357,7 @@ class FrameHandler:
             [np.asarray(au), np.asarray(av)], axis=-1
         )
         self.points.init_patch_from_host(idx)
+        self._mark_dirty(idx)
 
         # observations in both keyframes
         for kf_frame, px_obs, f_obs in (
@@ -495,11 +501,7 @@ class FrameHandler:
         if is_kf:
             result = RESULT_KEYFRAME
             self.regular_counter = 0
-            if not synced:
-                self._writeback_obs(frame, out)
-            self._apply_lifecycle(frame)
-            self._last_seed_match_px = np.asarray(out["seed_match_px"])
-            self._last_seed_matched = np.asarray(out["seed_matched"])
+            self._kf_sync(frame, out, already_synced=synced)
             kf_idx = self.kfs.add(frame)
             # CANDIDATE points observed here become UNKNOWN (addCandidatePointToFrame)
             o = frame.obs
@@ -529,10 +531,28 @@ class FrameHandler:
         return FrameResult(result, frame.T_f_w, n_matches, n_inliers, n_upd,
                            err_px)
 
-    def _writeback_obs(self, frame: Frame, out) -> None:
+    def _kf_sync(self, frame: Frame, out, already_synced: bool) -> None:
+        """Keyframe-event device sync: ONE transfer of the fused step's
+        ``kf_pack`` buffer covers the per-slot match results, the lifecycle
+        accumulators and the seed match statistics."""
+        C = self._grid[1] * self._grid[2]
+        P = self.points.p_max
+        S = int(self.seeds["valid"].shape[0])
+        kp = np.asarray(out["kf_pack"])
+        sp = kp[: C * 11].reshape(C, 11)
+        acc = kp[C * 11: C * 11 + 2 * P].reshape(2, P).astype(np.int64)
+        off = C * 11 + 2 * P
+        self._last_seed_match_px = kp[off: off + 2 * S].reshape(S, 2)
+        self._last_seed_matched = kp[off + 2 * S: off + 3 * S] > 0.5
+        if not already_synced:
+            self._writeback_obs(frame, out, sp=sp)
+        self._apply_lifecycle(frame, acc=acc)
+
+    def _writeback_obs(self, frame: Frame, out, sp=None) -> None:
         """Fetch the fused step's packed per-slot results (ONE transfer) and
         fill the frame's host observation table with the kept matches."""
-        sp = np.asarray(out["slot_pack"])
+        if sp is None:
+            sp = np.asarray(out["slot_pack"])
         flags = sp[:, 10].astype(np.int32)
         keep = (flags & 3) == 3          # success & inlier
         w = np.where(keep)[0]
@@ -546,7 +566,7 @@ class FrameHandler:
         o["grad"][rows] = sp[w, 5:7]
         o["point_id"][rows] = sp[w, 9].astype(np.int32)
 
-    def _apply_lifecycle(self, frame: Frame | None = None) -> None:
+    def _apply_lifecycle(self, frame: Frame | None = None, acc=None) -> None:
         """Drain the device success/fail accumulators into the host point
         table and apply the lifecycle rules (reprojector.cpp:373-387:
         TEMPORARY dies after >3 failures, UNKNOWN after >15; UNKNOWN with
@@ -555,7 +575,8 @@ class FrameHandler:
         reference's asynchronous mapping thread exhibits."""
         if self._acc is None:
             return
-        acc = np.asarray(self._acc)
+        if acc is None:
+            acc = np.asarray(self._acc)
         pts = self.points
         if acc.any():
             pts.n_succ += acc[0]
@@ -592,14 +613,54 @@ class FrameHandler:
     def _bump_map_version(self) -> None:
         self._map_version += 1
 
+    def _mark_dirty(self, rows) -> None:
+        """Record point rows whose patch/species data changed (scattered into
+        the device snapshot mirror at the next _snapshot)."""
+        self._dirty_rows.update(np.atleast_1d(np.asarray(rows, np.int64)).tolist())
+
+    PATCH_SNAP_FIELDS = (
+        "patch_win", "patch_anchor", "patch_px", "patch_f", "patch_level",
+        "patch_grad", "species", "patch_kf",
+    )
+
     def _snapshot(self) -> dict:
         """Device-side map snapshot for the fused step: heavy members are
-        re-uploaded only when the map changed (keyframe events bump
-        ``_map_version``); the per-frame part is ONE packed int32 array."""
-        from hso_tpu.pipeline.fused_step import pack_light
+        refreshed only when the map changed (keyframe events bump
+        ``_map_version``) — and then INCREMENTALLY: small members (positions,
+        keyframe poses) re-upload whole, while the big per-point patch
+        tables are patched with a fixed-width row scatter over the rows
+        marked dirty since the last refresh (the full patch_win table is
+        ~9 MB; a keyframe touches a few hundred rows)."""
+        from hso_tpu.pipeline.fused_step import pack_light, scatter_rows
 
         pts = self.points
-        if self._snap_heavy is None or self._snap_heavy_version != self._map_version:
+        if self._snap_heavy is not None and self._snap_heavy_version != self._map_version:
+            heavy = dict(self._snap_heavy)
+            heavy["pos_w"] = jnp.asarray(
+                pts.positions(self.kfs.poses).astype(np.float32))
+            heavy["kf_poses"] = jnp.asarray(self.kfs.poses.astype(np.float32))
+            heavy["kf_exposure"] = jnp.asarray(self.kfs.exposure)
+            heavy["ring_T"] = jnp.asarray(self._ring_poses())
+            heavy["ring_exp"] = jnp.asarray(np.array(
+                [self.kfs.exposure[i] if i >= 0 else 1.0
+                 for i in self.seed_ring], np.float32))
+            rows = np.fromiter(self._dirty_rows, np.int64,
+                               len(self._dirty_rows))
+            rows.sort()
+            width = self._n_obs_pad
+            for lo in range(0, len(rows), width):
+                sel = rows[lo:lo + width]
+                idx_pad = np.full(width, sel[0], np.int32)
+                idx_pad[: len(sel)] = sel
+                idx_dev = jnp.asarray(idx_pad)
+                for fld in self.PATCH_SNAP_FIELDS:
+                    src = getattr(pts, fld)[idx_pad]
+                    heavy[fld] = scatter_rows(
+                        heavy[fld], idx_dev, jnp.asarray(src))
+            self._dirty_rows.clear()
+            self._snap_heavy = heavy
+            self._snap_heavy_version = self._map_version
+        elif self._snap_heavy is None:
             self._snap_heavy = {
                 "pos_w": jnp.asarray(
                     pts.positions(self.kfs.poses).astype(np.float32)),
@@ -618,6 +679,7 @@ class FrameHandler:
                 "species": jnp.asarray(pts.species),
                 "patch_kf": jnp.asarray(pts.patch_kf),
             }
+            self._dirty_rows.clear()
             self._snap_heavy_version = self._map_version
         if self._snap_light is None or self._snap_light_version != self._map_version:
             self._snap_light = jnp.asarray(pack_light(pts.type, pts.valid))
@@ -852,6 +914,7 @@ class FrameHandler:
         pts.host_anchor[pidx] = anch_c
         pts.last_obs_kf[pidx] = len(self.kfs.frames) - 1
         pts.init_patch_from_host(pidx)
+        self._mark_dirty(pidx)
         # link seed → temp point
         self.seeds["temp_point"] = (
             self.seeds["temp_point"].at[jnp.asarray(s_ids)].set(jnp.asarray(pidx))
@@ -874,18 +937,18 @@ class FrameHandler:
         """Re-memoize the appearance window of every point observed in this
         keyframe from the new view (Point::getCloseViewObs analogue — see
         mapmodel/structures.py).  One batched window extraction."""
-        from hso_tpu.ops.warp import memoize_level_windows
+        from hso_tpu.ops.warp import memoize_level_windows_packed
 
         o = frame.obs
         sel = o["valid"] & (o["point_id"] >= 0)
         if not sel.any():
             return
-        wins, anchors = memoize_level_windows(
+        buf = np.asarray(memoize_level_windows_packed(
             frame.data["pyr"], jnp.asarray(o["px"], jnp.float32),
             jnp.asarray(o["level"]),
-        )
-        wins = np.asarray(wins)
-        anchors = np.asarray(anchors)
+        ))
+        wins = buf[:, :-2].reshape(-1, 24, 24)
+        anchors = buf[:, -2:].astype(np.int32)
         idxs = np.where(sel)[0]
         pid = o["point_id"][idxs]
         pts = self.points
@@ -896,6 +959,7 @@ class FrameHandler:
         pts.patch_grad[pid] = o["grad"][idxs]
         pts.patch_win[pid] = wins[idxs]
         pts.patch_anchor[pid] = anchors[idxs]
+        self._mark_dirty(pid)
 
     def _need_new_kf(self, frame: Frame, distance_mean: float) -> bool:
         # min 3 frames between keyframes (frame_handler_mono.cpp:430; the
@@ -949,17 +1013,20 @@ class FrameHandler:
         ).astype(np.float32)
 
     def _harvest_seeds(self) -> int:
+        from hso_tpu.mapping.depth_filter import gather_seed_windows
+
         seeds_before = self.seeds
         # adaptive activation threshold from the convergence-rate statistic
         # (nMeanConvergeFrame_, depth_filter.cpp:772-776)
         min_act = float(np.clip(0.7 * self.mean_converge_frames, 3.0, 8.0))
-        self.seeds, conv, snap, stale = harvest_and_prune(
+        self.seeds, bundle = harvest_and_prune(
             self.seeds, self.batch_counter, jnp.asarray(self._ring_poses()),
             self.cfg.max_seed_kf_batches, min_act, float(self.cam.focal_mean),
         )
-        conv = np.asarray(conv)
-        stale = np.asarray(stale)
-        temp_ids = np.asarray(snap["temp_point"])
+        b = np.asarray(bundle)              # ONE device→host transfer
+        conv = b[:, 0] > 0.5
+        stale = b[:, 1] > 0.5
+        temp_ids = b[:, 13].astype(np.int32)
 
         # stale seeds: their TEMPORARY points die with them (seedStates_ = -1)
         dead_tmp = temp_ids[stale & (temp_ids >= 0)]
@@ -970,7 +1037,7 @@ class FrameHandler:
         if n_conv == 0:
             return 0
         # converge-rate statistic (nMeanConvergeFrame_)
-        n_upd = np.asarray(seeds_before["n_updates"])[conv]
+        n_upd = b[conv, 14]
         if len(n_upd):
             self.mean_converge_frames = 0.7 * self.mean_converge_frames + 0.3 * float(
                 np.mean(np.maximum(n_upd, 1.0))
@@ -985,7 +1052,7 @@ class FrameHandler:
             p = int(temp_ids[s])
             if self.points.valid[p] and self.points.type[p] == TYPE_TEMPORARY:
                 self.points.type[p] = TYPE_CANDIDATE
-                self.points.idist[p] = float(np.asarray(snap["mu"])[s])
+                self.points.idist[p] = float(b[s, 12])
                 promoted += 1
         w = np.array([s for s in w_all if temp_ids[s] < 0], dtype=int)
 
@@ -994,25 +1061,40 @@ class FrameHandler:
         if m == 0:
             return promoted
         w = w[:m]
-        host_ring = np.asarray(snap["host"])[w]
+        host_ring = b[w, 2].astype(np.int32)
         self.points.valid[idx] = True
         self.points.type[idx] = TYPE_CANDIDATE
         self.points.host_kf[idx] = self.seed_ring[host_ring]
-        self.points.host_px[idx] = np.asarray(snap["px"])[w]
-        self.points.host_f[idx] = np.asarray(snap["f"])[w]
-        self.points.host_level[idx] = np.asarray(snap["level"])[w]
-        self.points.species[idx] = np.asarray(snap["species"])[w]
-        self.points.grad[idx] = np.asarray(snap["grad"])[w]
-        self.points.idist[idx] = np.asarray(snap["mu"])[w]
+        self.points.host_px[idx] = b[w, 3:5]
+        self.points.host_f[idx] = b[w, 5:8]
+        self.points.host_level[idx] = b[w, 8].astype(np.int32)
+        self.points.species[idx] = b[w, 9].astype(np.int32)
+        self.points.grad[idx] = b[w, 10:12]
+        self.points.idist[idx] = b[w, 12]
+        # fetch ONLY the converged rows' appearance windows (device-side
+        # gather at a fixed padded width — the full seed window ring is
+        # ~8 MB and would retrace per count)
+        n_gather = 128
+        wdim = int(seeds_before["host_win"].shape[1])
+        wins_l, anchs_l = [], []
+        for lo in range(0, m, n_gather):
+            sel = w[lo:lo + n_gather]
+            idx_pad = np.zeros(n_gather, np.int32)
+            idx_pad[: len(sel)] = sel
+            gbuf = np.asarray(gather_seed_windows(
+                seeds_before["host_win"], seeds_before["host_anchor"],
+                jnp.asarray(idx_pad)))[: len(sel)]
+            wins_l.append(gbuf[:, :wdim * wdim].reshape(-1, wdim, wdim))
+            anchs_l.append(gbuf[:, wdim * wdim:].astype(np.int32))
         win_c, anch_c = crop_window(
-            np.asarray(seeds_before["host_win"])[w],
-            np.asarray(seeds_before["host_anchor"])[w],
-            np.asarray(snap["px"])[w], np.asarray(snap["level"])[w],
+            np.concatenate(wins_l), np.concatenate(anchs_l),
+            b[w, 3:5], b[w, 8].astype(np.int32),
         )
         self.points.host_win[idx] = win_c
         self.points.host_anchor[idx] = anch_c
         self.points.last_obs_kf[idx] = len(self.kfs.frames) - 1
         self.points.init_patch_from_host(idx)
+        self._mark_dirty(idx)
         self.points.n_succ[idx] = 0
         self.points.n_fail[idx] = 0
         return m + promoted
@@ -1128,6 +1210,7 @@ class FrameHandler:
         self.pre_frames.clear()
         self._snap_heavy = None
         self._snap_light = None
+        self._dirty_rows = set()
         self._acc = None
         self._last_seed_match_px = None
         self._last_seed_matched = None

@@ -57,6 +57,14 @@ def pack_light(pt_type, pt_valid):
     return (pt_type.astype(np.int32) + 8 * pt_valid.astype(np.int32))
 
 
+@jax.jit
+def scatter_rows(dst, idx, src):
+    """Patch rows of a device-resident snapshot table (fixed-width scatter;
+    callers pad ``idx`` by repeating a real row so duplicates write the same
+    value)."""
+    return dst.at[idx].set(src)
+
+
 @functools.lru_cache(maxsize=8)
 def make_frame_step(cam, grid: tuple, klt_max_level: int, klt_min_level: int,
                     coarse_n_iter: int, pattern_offset: int,
@@ -262,10 +270,21 @@ def make_frame_step(cam, grid: tuple, klt_max_level: int, klt_min_level: int,
             cid[:, None].astype(jnp.float32),                 # 9
             flags[:, None].astype(jnp.float32),               # 10
         ], axis=-1)
+        # keyframe-event fetch: slot results + lifecycle accumulators + seed
+        # match stats in ONE flat buffer (each separate fetch costs a ~24 ms
+        # tunnel round-trip).  Layout: [slot_pack (C*11) | acc (2P) |
+        # seed_match_px (2S) | seed_matched (S)]
+        kf_pack = jnp.concatenate([
+            slot_pack.reshape(-1),
+            acc_new.reshape(-1).astype(jnp.float32),
+            sstats["px_match"].reshape(-1),
+            sstats["matched"].astype(jnp.float32),
+        ])
 
         return {
             "packed": packed,
             "slot_pack": slot_pack,
+            "kf_pack": kf_pack,
             "acc": acc_new,
             "obs_next": obs_next,
             "data": data,

@@ -84,13 +84,15 @@ def test_seeds_converge_to_true_depth(setup):
     assert np.median(sig / zr) < 0.05
 
     # harvest with activation refinement: some should be converged now
-    seeds2, conv, snap, _stale = harvest_and_prune(seeds, 2, host_T)
-    conv_np = np.asarray(conv)
+    # (bundle columns: 0=converged, 1=stale, 12=mu — depth_filter.harvest_and_prune)
+    seeds2, bundle = harvest_and_prune(seeds, 2, host_T)
+    b = np.asarray(bundle)
+    conv_np = b[:, 0] > 0.5
     assert int(conv_np.sum()) > 10
     # converged removed from live set
     assert int(np.asarray(seeds2["valid"]).sum()) == valid.sum() - int(conv_np.sum())
     # refined inverse distances stay accurate
-    mu_ref = np.asarray(snap["mu"])[conv_np]
+    mu_ref = b[conv_np, 12]
     d_gt2 = scene.depth_along_ray(np.asarray(seeds["px"])[conv_np].astype(np.float64))
     rel2 = np.abs(1.0 / mu_ref - d_gt2) / d_gt2
     assert np.median(rel2) < 0.02
@@ -99,8 +101,9 @@ def test_seeds_converge_to_true_depth(setup):
 def test_prune_stale(setup):
     seeds = setup["seeds"]
     # batch counter far in the future: all seeds stale
-    seeds2, conv, _, stale = harvest_and_prune(seeds, 100)
-    assert int(np.asarray(stale).sum()) == int(np.asarray(seeds["valid"]).sum())
+    seeds2, bundle = harvest_and_prune(seeds, 100)
+    stale = np.asarray(bundle)[:, 1] > 0.5
+    assert int(stale.sum()) == int(np.asarray(seeds["valid"]).sum())
     assert int(np.asarray(seeds2["valid"]).sum()) == 0
 
 
@@ -205,10 +208,11 @@ def test_activation_rejects_inconsistent_seeds():
     ):
         upd[key] = s[key].at[idx].set(jnp.asarray(val))
 
-    out, conv, snap, stale = harvest_and_prune(
+    out, bundle = harvest_and_prune(
         upd, 1, host_T, 3, 3.0, cam_f)
-    conv = np.asarray(conv)[:n]
-    stale = np.asarray(stale)[:n]
+    b = np.asarray(bundle)
+    conv = (b[:, 0] > 0.5)[:n]
+    stale = (b[:, 1] > 0.5)[:n]
     assert conv[:8].all(), conv
     assert not conv[8:].any(), conv
     assert stale[8:].all(), stale  # rejected → folded into stale (temp dies)
