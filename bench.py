@@ -111,13 +111,17 @@ def trajectory(n):
     return poses
 
 
-def reference_cpu_fps() -> tuple[float, str]:
+def reference_cpu_fps() -> tuple[float, list, str]:
     if os.path.exists(CPU_ANCHOR):
         with open(CPU_ANCHOR) as f:
             anchor = json.load(f)
-        return float(anchor["reference_cpu_fps"]), anchor.get(
-            "note", "measured CPU anchor (BASELINE_CPU.json)")
-    return REFERENCE_CPU_FPS_FALLBACK, "40 fps literature estimate (no anchor file)"
+        return (float(anchor["reference_cpu_fps"]),
+                anchor.get("reference_cpu_fps_range"),
+                "measured hot-loop anchor on this CPU "
+                "(BASELINE_CPU.json; reference-favoring upper bound => "
+                "speedup is a lower bound)")
+    return (REFERENCE_CPU_FPS_FALLBACK, None,
+            "40 fps literature estimate (no anchor file)")
 
 
 # ---------------------------------------------------------------- BA capture
@@ -327,7 +331,7 @@ def main() -> None:
     gt_xyz = np.stack([se3np.translation(se3np.inv(T))
                        for T in poses[start + k:start + k + N_SCAN]])
     res = ate(est_xyz, gt_xyz, with_scale=True)
-    base_fps, base_note = reference_cpu_fps()
+    base_fps, base_range, base_note = reference_cpu_fps()
     if not (res.rmse < 0.10):
         print(json.dumps({
             "metric": "pipeline_frames_per_s", "value": None, "unit": "frames/s",
@@ -337,7 +341,7 @@ def main() -> None:
         }))
         sys.exit(1)
 
-    print(json.dumps({
+    doc = {
         "metric": "pipeline_frames_per_s",
         "value": round(fps, 2),
         "unit": "frames/s",
@@ -345,7 +349,11 @@ def main() -> None:
         "host_loop_frames_per_s": round(host_fps, 2),
         "scan_ate_rmse_m": round(res.rmse, 4),
         "baseline_note": base_note,
-    }))
+    }
+    if base_range:
+        doc["vs_baseline_range"] = [round(fps / base_range[1], 2),
+                                    round(fps / base_range[0], 2)]
+    print(json.dumps(doc))
 
 
 if __name__ == "__main__":
