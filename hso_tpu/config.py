@@ -19,8 +19,15 @@ class Config:
     # (the reference's grid_size / reproj_thresh / poseoptim_num_iter knobs
     # are decorative there too — cell size is derived, reprojThresh is never
     # read, and frame_handler_mono.cpp:242 hardcodes 12 pose iterations — so
-    # they are not reproduced here)
-    n_pyr_levels: int = 3           #: feature/matching pyramid levels
+    # they are not reproduced here.  Likewise NOT reproduced as knobs, being
+    # compile-time structure in the static-shape TPU build: the 3-level
+    # feature pyramid (image/pyramid.py n_pyr_levels default), the 8×8
+    # alignment patch (ops/align.py BORD), the epipolar sample count
+    # (ops/epipolar.py), the 16-view seed refinement ring
+    # (mapping/depth_filter.py N_OBS_RING), and the reference's
+    # LIGHT_THRESHOLD exposure-compensation gate (matcher.cpp:40) — the
+    # batched matcher always applies exposure compensation, which subsumes
+    # the gate.)
     core_n_kfs: int = 7             #: size of covisibility core for local BA
     map_scale: float = 1.0          #: median scene depth after bootstrap
     init_min_disparity: float = 40.0
@@ -42,23 +49,21 @@ class Config:
     coarse_pattern_offset: int = 2  #: first pattern table used at the top level
 
     # ---- static-shape capacities (TPU build only) ----
-    n_fts_max: int = 320            #: feature-slot padding per frame (>= max_fts
-                                    #: + margin, and >= the reprojector cell count
-                                    #: ~1.6·max_fts so a full grid fits)
+    n_fts_max: int = 320            #: feature-slot padding per frame (>= max_fts;
+                                    #: obs tables are sized max(n_fts_max, grid
+                                    #: cells) — FrameHandler._n_obs_pad)
     n_seeds_max: int = 1024         #: depth-filter seed slots (≥ n_fts_max ×
                                     #: max_seed_kf_batches: a batch allocates at
                                     #: most one seed per detection slot and lives
                                     #: 3 keyframe batches)
     n_kfs_window: int = 16          #: BA keyframe slots (free + fixed)
     n_points_ba_max: int = 2048     #: BA point slots
-    epl_n_steps: int = 32           #: epipolar search samples per seed (ref: <=30 crop +pad)
-    align_patch_half: int = 4       #: 8x8 alignment patch (reference halfpatch_size_=4)
-    align_max_iter: int = 10
-    seed_opt_n_views: int = 16      #: target views used by seed activation refinement
-    pre_frames_max: int = 4         #: ring of recent non-KF frames for seed backfill
+    align_max_iter: int = 10        #: feature-alignment LM iterations (matcher)
+    pre_frames_max: int = 3         #: ring of recent non-KF frames for seed backfill
 
     # ---- depth filter ----
-    seed_converge_sigma2_thresh: float = 200.0
+    seed_converge_sigma2_thresh: float = 200.0  #: σ-ratio convergence bar
+                                    #: (halved on sparse frames, ref 100/200)
     max_seed_kf_batches: int = 3    #: seed lifetime in KF batches (ref options_.max_n_kfs)
 
     # ---- distributed BA (BASELINE.json config 5) ----
@@ -67,13 +72,13 @@ class Config:
     ba_n_devices: int = 0           #: mesh size for distributed BA (0 = all)
 
     # ---- photometric ----
-    exposure_light_thresh: float = 30.0  #: LIGHT_THRESHOLD in matcher.cpp:40
     photometric_calib: bool = False      #: online response/vignette calibration
                                          #: (TUM MonoVO-class auto-exposure input)
 
     def __post_init__(self) -> None:
         assert self.n_fts_max >= self.max_fts
-        assert self.klt_max_level >= self.n_pyr_levels - 1
+        # coarse tracking must reach down to the 3 matching-pyramid levels
+        assert self.klt_max_level >= 2
 
 
 DEFAULT_CONFIG = Config()

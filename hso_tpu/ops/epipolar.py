@@ -81,7 +81,12 @@ def pack_level_windows(pyr, search_level, center_u_l, center_v_l, win: int,
 
 
 def _depthwise_corr(windows: jnp.ndarray, kernels: jnp.ndarray) -> jnp.ndarray:
-    """Per-seed valid correlation: (S, EW, EW) ⊛ (S, kh, kw) → (S, EW-kh+1, ...)."""
+    """Per-seed valid correlation: (S, EW, EW) ⊛ (S, kh, kw) → (S, EW-kh+1, ...).
+
+    Implementation notes (measured on v5e): the grouped conv is ~0.9 ms at
+    S=1536 — not MXU-mapped (per-seed kernels), but XLA's lowering beats
+    the "obvious" 64-shifted-FMA unroll (~5 ms: every x-shifted slice is a
+    lane-misaligned window that costs a vector rotate)."""
     s = windows.shape[0]
     out = jax.lax.conv_general_dilated(
         windows[None],                       # NCHW: (1, S, EW, EW)
@@ -139,49 +144,64 @@ def epipolar_zmncc_search(
     n_line = jnp.ceil(length + 2.0 * (1.0 + pad)).astype(jnp.int32)
     n_line = jnp.minimum(n_line, n_steps - 1)
 
-    # ---- dense ZMNCC over all patch positions ----
-    sum_t = _box_sums(windows, PATCH)
-    sum_t2 = _box_sums(windows * windows, PATCH)
-    corr = _depthwise_corr(windows, ref_patch)
-    area = float(PATCH * PATCH)
-    ref_mean = jnp.mean(ref_patch, axis=(1, 2))
-    ref_zm = ref_patch - ref_mean[:, None, None]
-    ref_den = jnp.sum(ref_zm * ref_zm, axis=(1, 2))
-    num = corr - ref_mean[:, None, None] * sum_t
-    var_t = jnp.maximum(sum_t2 - sum_t * sum_t / area, 0.0)
-    zmncc = num / (jnp.sqrt(ref_den[:, None, None] * var_t) + 1e-12)
+    from hso_tpu.ops.window_pallas import on_tpu
 
-    # ---- sample the score map along the line ----
-    ks = jnp.arange(n_steps, dtype=jnp.float32)
-    pu = start[:, 0:1] + dir_unit[:, 0:1] * ks[None, :]          # (S, K)
-    pv = start[:, 1:2] + dir_unit[:, 1:2] * ks[None, :]
-    # patch at position p reads rows floor(p)-4+[0,8) with fractional blend —
-    # equivalently the score map sampled at continuous index p - 4 - anchor
-    su = pu - 4.0 - au[:, None].astype(jnp.float32)
-    sv = pv - 4.0 - av[:, None].astype(jnp.float32)
-    cw = zmncc.shape[-1]
-    y = jnp.arange(cw, dtype=jnp.float32)
-    wy = jnp.maximum(0.0, 1.0 - jnp.abs(sv[..., None] - y))      # (S, K, CW)
-    wx = jnp.maximum(0.0, 1.0 - jnp.abs(su[..., None] - y))
-    scores = jnp.einsum("sky,syx,skx->sk", wy, zmncc, wx)
+    if on_tpu():
+        # fused Pallas kernel: dense ZMNCC + line sampling + best/second in
+        # VMEM, 128 seeds per lane tile (ops/epipolar_pallas.py; the XLA
+        # formulations are HBM-bandwidth-bound, see that module's docstring)
+        from hso_tpu.ops.epipolar_pallas import zmncc_line_scores_tpu
 
-    hf = hs[:, None].astype(jnp.float32)
-    wf = ws[:, None].astype(jnp.float32)
-    k_mask = (
-        (ks[None, :] <= n_line[:, None].astype(jnp.float32))
-        & (su >= 0.0) & (su <= cw - 1.0) & (sv >= 0.0) & (sv <= cw - 1.0)
-        # full patch must also be inside the image, not just the window
-        & (pu - 4.0 >= 0.0) & (pu + 4.0 <= wf - 1.0)
-        & (pv - 4.0 >= 0.0) & (pv + 4.0 <= hf - 1.0)
-    )
-    scores = jnp.where(k_mask, scores, -jnp.inf)
+        su0 = start[:, 0] - 4.0 - au.astype(jnp.float32)
+        sv0 = start[:, 1] - 4.0 - av.astype(jnp.float32)
+        score_best, score_second, k_best = zmncc_line_scores_tpu(
+            windows, ref_patch, su0, sv0, dir_unit[:, 0], dir_unit[:, 1],
+            n_line, au, av, hs, ws, n_steps)
+    else:
+        # ---- dense ZMNCC over all patch positions (XLA fallback) ----
+        sum_t = _box_sums(windows, PATCH)
+        sum_t2 = _box_sums(windows * windows, PATCH)
+        corr = _depthwise_corr(windows, ref_patch)
+        area = float(PATCH * PATCH)
+        ref_mean = jnp.mean(ref_patch, axis=(1, 2))
+        ref_zm = ref_patch - ref_mean[:, None, None]
+        ref_den = jnp.sum(ref_zm * ref_zm, axis=(1, 2))
+        num = corr - ref_mean[:, None, None] * sum_t
+        var_t = jnp.maximum(sum_t2 - sum_t * sum_t / area, 0.0)
+        zmncc = num / (jnp.sqrt(ref_den[:, None, None] * var_t) + 1e-12)
 
-    k_best = jnp.argmax(scores, axis=-1)
-    score_best = jnp.max(scores, axis=-1)
-    # second best at loop distance > 1
-    far_mask = jnp.abs(ks[None, :] - k_best[:, None].astype(jnp.float32)) > 1.0
-    scores_far = jnp.where(far_mask, scores, -jnp.inf)
-    score_second = jnp.max(scores_far, axis=-1)
+        # ---- sample the score map along the line ----
+        ks = jnp.arange(n_steps, dtype=jnp.float32)
+        pu = start[:, 0:1] + dir_unit[:, 0:1] * ks[None, :]      # (S, K)
+        pv = start[:, 1:2] + dir_unit[:, 1:2] * ks[None, :]
+        # patch at position p reads rows floor(p)-4+[0,8) with fractional
+        # blend — equivalently the score map sampled at p - 4 - anchor
+        su = pu - 4.0 - au[:, None].astype(jnp.float32)
+        sv = pv - 4.0 - av[:, None].astype(jnp.float32)
+        cw = zmncc.shape[-1]
+        y = jnp.arange(cw, dtype=jnp.float32)
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(sv[..., None] - y))  # (S, K, CW)
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(su[..., None] - y))
+        scores = jnp.einsum("sky,syx,skx->sk", wy, zmncc, wx)
+
+        hf = hs[:, None].astype(jnp.float32)
+        wf = ws[:, None].astype(jnp.float32)
+        k_mask = (
+            (ks[None, :] <= n_line[:, None].astype(jnp.float32))
+            & (su >= 0.0) & (su <= cw - 1.0) & (sv >= 0.0) & (sv <= cw - 1.0)
+            # full patch must also be inside the image, not just the window
+            & (pu - 4.0 >= 0.0) & (pu + 4.0 <= wf - 1.0)
+            & (pv - 4.0 >= 0.0) & (pv + 4.0 <= hf - 1.0)
+        )
+        scores = jnp.where(k_mask, scores, -jnp.inf)
+
+        k_best = jnp.argmax(scores, axis=-1)
+        score_best = jnp.max(scores, axis=-1)
+        # second best at loop distance > 1
+        far_mask = jnp.abs(ks[None, :]
+                           - k_best[:, None].astype(jnp.float32)) > 1.0
+        scores_far = jnp.where(far_mask, scores, -jnp.inf)
+        score_second = jnp.max(scores_far, axis=-1)
 
     ambiguous = (score_second > -jnp.inf) & (
         AMBIGUITY_RATIO * score_second > score_best

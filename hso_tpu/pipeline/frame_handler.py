@@ -122,7 +122,8 @@ class FrameHandler:
         self._init_px = None
         # retained recent frames for pre-frame seed backfill (the reference
         # keeps a frame_prior_ deque in DepthFilter, depth_filter.cpp:338-351)
-        self.pre_frames: collections.deque = collections.deque(maxlen=3)
+        self.pre_frames: collections.deque = collections.deque(
+            maxlen=self.cfg.pre_frames_max)
         # optional online photometric calibration (response/vignette; the
         # reference's PhotomatricCalibration is compiled out — see
         # hso_tpu/photometric/online_calib.py)
@@ -381,7 +382,7 @@ class FrameHandler:
         self.pre_frames.append(self.first_frame)
         self._add_keyframe_seeds(frame, depth_mean=cfg.map_scale,
                                  depth_min=float(dist1.min() * 0.5),
-                                 converge_thresh=200.0)
+                                 converge_thresh=cfg.seed_converge_sigma2_thresh)
         self.stage = STAGE_DEFAULT
         self.n_last_inliers = m
         self.regular_counter = 0
@@ -517,7 +518,9 @@ class FrameHandler:
             self.points.gc_stale(kf_idx)
             with self._t("local_ba"):
                 self._run_ba(frame)
-            thresh = 100.0 if n_inliers <= 70 else 200.0
+            # sparse frames get a laxer convergence bar (ref: 100 vs 200)
+            base_th = cfg.seed_converge_sigma2_thresh
+            thresh = base_th / 2.0 if n_inliers <= 70 else base_th
             with self._t("feature_detection"):
                 self._harvest_seeds()
                 self._add_keyframe_seeds(frame, distance_mean,
@@ -608,7 +611,9 @@ class FrameHandler:
         return make_frame_step(
             self.cam, self._grid, cfg.klt_max_level, cfg.klt_min_level,
             cfg.coarse_n_iter, cfg.coarse_pattern_offset,
-            cfg.poseoptim_thresh, n_obs_pad=self._n_obs_pad)
+            cfg.poseoptim_thresh, n_obs_pad=self._n_obs_pad,
+            edgelet_cos_angle=cfg.edgelet_angle,
+            align_max_iter=cfg.align_max_iter)
 
     def _bump_map_version(self) -> None:
         self._map_version += 1
@@ -764,6 +769,8 @@ class FrameHandler:
         mout = match_points(
             cand, d["pyr"], d["sobel_x"], d["sobel_y"],
             jnp.asarray(frame.T_f_w, jnp.float32), frame.exposure, self.cam,
+            edgelet_cos_angle=self.cfg.edgelet_angle,
+            align_max_iter=self.cfg.align_max_iter,
         )
         live = np.arange(n_max) < len(cand_idx)
         return {
@@ -883,6 +890,8 @@ class FrameHandler:
         mout = match_points(
             cand, d["pyr"], d["sobel_x"], d["sobel_y"],
             jnp.asarray(frame.T_f_w, jnp.float32), frame.exposure, self.cam,
+            edgelet_cos_angle=self.cfg.edgelet_angle,
+            align_max_iter=self.cfg.align_max_iter,
         )
         success = np.asarray(mout["success"]) & (np.arange(n_max) < len(idxs))
         wsel = np.where(success)[0]

@@ -68,7 +68,8 @@ def scatter_rows(dst, idx, src):
 @functools.lru_cache(maxsize=8)
 def make_frame_step(cam, grid: tuple, klt_max_level: int, klt_min_level: int,
                     coarse_n_iter: int, pattern_offset: int,
-                    poseoptim_thresh: float, n_obs_pad: int = 0):
+                    poseoptim_thresh: float, n_obs_pad: int = 0,
+                    edgelet_cos_angle: float = 0.86, align_max_iter: int = 10):
     """Build the jitted fused per-frame step for a fixed camera/config.
 
     ``n_obs_pad`` > C pads the returned ``obs_next`` arrays (and accepted
@@ -144,7 +145,8 @@ def make_frame_step(cam, grid: tuple, klt_max_level: int, klt_min_level: int,
         cp1 = jnp.where(sel["cell_valid"], sel["cell_point"], 0)
         m1 = match_points(cand_rows(cp1, sel["cell_valid"]), data["pyr"],
                           data["sobel_x"], data["sobel_y"], T_cur, exposure,
-                          cam)
+                          cam, edgelet_cos_angle=edgelet_cos_angle,
+                          align_max_iter=align_max_iter)
         s1 = m1["success"] & sel["cell_valid"]
 
         R = C // 2
@@ -156,7 +158,8 @@ def make_frame_step(cam, grid: tuple, klt_max_level: int, klt_min_level: int,
         cp2 = jnp.where(take, sel["cell_point2"][ridx], 0)
         m2 = match_points(cand_rows(cp2, take), data["pyr"],
                           data["sobel_x"], data["sobel_y"], T_cur, exposure,
-                          cam)
+                          cam, edgelet_cos_angle=edgelet_cos_angle,
+                          align_max_iter=align_max_iter)
         s2 = m2["success"] & take
         # scatter retry results back to their cells (one-hot matmul — tiny)
         Mr = ((ridx[None, :] == jnp.arange(C)[:, None]) & take[None, :])

@@ -29,7 +29,7 @@ from hso_tpu.ops.warp import best_search_level, warp_from_stored_windows, warp_m
 EDGELET = 1
 
 
-@functools.partial(jax.jit, static_argnames=("cam", "n_levels"))
+@functools.partial(jax.jit, static_argnames=("cam", "n_levels", "align_max_iter"))
 def match_points(
     cand,               # dict of candidate rows: host_win, host_anchor, host_px,
                         # host_f, host_level, grad, species, idist,
@@ -41,7 +41,8 @@ def match_points(
     exposure_cur,
     cam,
     n_levels: int = 3,
-    edgelet_cos_angle: float = 0.86,
+    edgelet_cos_angle: float = 0.86,   # Config.edgelet_angle
+    align_max_iter: int = 10,          # Config.align_max_iter
 ):
     """Returns dict(px (N,2) level-0, level (N,), f_cur (N,3), success (N,))."""
     n = cand["valid"].shape[0]
@@ -83,7 +84,8 @@ def match_points(
     windows, anchors, img_hw = pack_level_windows(
         cur_pyr, search_level, px_init[:, 0], px_init[:, 1], 24, n_levels
     )
-    rm = align_mixed(is_edge, grad_cur, ref_border, px_init, valid=valid0,
+    rm = align_mixed(is_edge, grad_cur, ref_border, px_init,
+                     n_iter=align_max_iter, valid=valid0,
                      windows=windows, anchors=anchors, img_hw=img_hw)
     px_l = rm["px"]
     conv = rm["converged"]
