@@ -63,6 +63,7 @@ def main() -> None:
     print(f"# backend={devs[0].platform} n_devices={len(devs)}", file=sys.stderr)
 
     results = []
+    collectives = None
     for nd in dev_counts:
         if nd > len(devs):
             print(f"# skipping {nd} devices (have {len(devs)})", file=sys.stderr)
@@ -97,6 +98,50 @@ def main() -> None:
             return (time.perf_counter() - t0) / reps, out
 
         dt, out = timed(run)
+
+        if nd == max(dev_counts):
+            # MEASURED collective inventory: parse every all-reduce the
+            # compiled HLO actually contains (shape -> byte size, count).
+            # The LM loop is one `while`; all-reduces inside its body fire
+            # once per iteration.
+            import re
+
+            txt = step.lower(prob["T_kf"], prob["free"], idist_d, pv_d,
+                             obs_dev, *deltas).compile().as_text()
+            inv = []
+            body_bytes = init_bytes = 0
+            # XLA emits tuple-shaped all-reduces:
+            #   %all-reduce.N = (f32[72,72]{..}, f32[72]{..}) all-reduce(...)
+            for m in re.finditer(
+                    r"%all-reduce[.\d]* = \((.*?)\) all-reduce\(.*", txt):
+                line = m.group(0)
+                shapes = re.findall(r"(\w+)\[([\d,]*)\]", m.group(1))
+                nbytes = 0
+                for dt_name, dims in shapes:
+                    b = 4 if dt_name in ("f32", "s32", "u32", "pred") else 8
+                    for d in dims.split(","):
+                        if d:
+                            b *= int(d)
+                    nbytes += b
+                in_body = "while/body" in line
+                inv.append({
+                    "shapes": [f"{t}[{d}]" for t, d in shapes],
+                    "bytes": nbytes,
+                    "where": "lm_loop_body" if in_body else "initial_build",
+                })
+                if in_body:
+                    body_bytes += nbytes
+                else:
+                    init_bytes += nbytes
+            collectives = {
+                "hlo_all_reduces": inv,
+                "payload_bytes_per_lm_iteration": body_bytes,
+                "lm_iterations": n_iter,
+                "payload_bytes_per_solve": body_bytes * n_iter + init_bytes,
+                "note": (
+                    "parsed from the compiled HLO of the n-device step; "
+                    "loop-body all-reduces fire once per LM iteration"),
+            }
 
         # distribution-overhead control: the SAME total problem solved on a
         # 1-device mesh (all landmarks in one block, no collectives at scale).
@@ -139,10 +184,55 @@ def main() -> None:
                 "value": row["weak_scaling_efficiency"],
                 "overhead_efficiency": row["overhead_efficiency"],
             }))
+        # ---- ICI projection for a real multi-host v5e slice ----
+        # Model: ring all-reduce of V bytes over n devices moves
+        # 2·V·(n-1)/n per device at BW_eff, plus L launch latency per
+        # collective.  v5e hosts within a pod slice share the 2-D ICI torus
+        # (multi-host != DCN until you leave the slice).  Assumptions
+        # (conservative): BW_eff = 4e10 B/s per device, L = 5 us.
+        # Compute time: the 1-chip TPU solve anchor if available (run
+        # `cpu=0 devices=1` to measure), else the CPU 1-device figure as a
+        # stand-in (slower compute only makes efficiency look BETTER, so
+        # the TPU anchor is the honest one to use).
+        projection = None
+        if collectives:
+            BW, L = 4.0e10, 5.0e-6
+            n_coll = sum(1 for c in collectives["hlo_all_reduces"]
+                         if c["where"] == "lm_loop_body")
+            V = collectives["payload_bytes_per_lm_iteration"]
+            t_anchor_ms = None
+            anchor_src = None
+            tpu_anchor = args.get("tpu_anchor_ms")
+            if tpu_anchor:
+                t_anchor_ms = float(tpu_anchor)
+                anchor_src = "measured 1-chip TPU solve (cpu=0 devices=1 run)"
+            elif results:
+                t_anchor_ms = results[0]["step_ms_1dev_same_problem"]
+                anchor_src = "1-device CPU solve stand-in"
+            def eff(n, bw, lat):
+                t_comm = (n_iter + 1) * (
+                    2.0 * V * (n - 1) / n / bw + n_coll * lat)
+                return t_anchor_ms / (t_anchor_ms + t_comm * 1e3)
+
+            rows = {str(n): round(eff(n, BW, L), 4)
+                    for n in (2, 4, 8, 16, 32)}
+            projection = {
+                "model": "ring all-reduce, BW_eff=4e10 B/s, launch=5us",
+                "anchor_solve_ms": t_anchor_ms,
+                "anchor_source": anchor_src,
+                "projected_efficiency_by_devices": rows,
+                "sensitivity_8dev_10x_worse_link": round(
+                    eff(8, BW / 10, L * 10), 4),
+            }
+            print(json.dumps({"collectives": collectives,
+                              "ici_projection": projection}))
+
         out_path = args.get("out")
         if out_path:
             with open(out_path, "w") as fh:
                 json.dump({
+                    "collectives_measured": collectives,
+                    "ici_projection": projection,
                     "backend": devs[0].platform,
                     "note": (
                         "virtual CPU mesh (all 'devices' share one physical "
