@@ -27,6 +27,15 @@ Honesty protocol:
     pose/pyramid/obs/seed state feeding forward through the carry
     (dispatch/tunnel overhead excluded: the axon dev tunnel costs ~24 ms per
     host sync, which a production host-adjacent deployment does not pay);
+  * the MAP EVOLVES inside the timed scan: keyframe steps run hybrid
+    feature detection (feeding depth-filter seed init), update the keyframe
+    pose registry and seed-host ring, harvest converged seeds and ACTIVATE
+    them on-device into a reserved point-table region (they become
+    matchable on subsequent frames), and solve the windowed Schur BA on the
+    bootstrap-captured covisibility problem.  Remaining host-only residual
+    vs ``add_image``: BA window assembly/pose writeback and
+    success/fail-driven point lifecycle, which run at keyframe cadence in
+    the live loop;
   * the scan trajectory is checked against ground truth with scale-aligned
     ATE — if the RMSE gate fails, the bench prints ``"value": null`` and
     exits nonzero: a broken tracking loop cannot report a garbage-fast
@@ -66,7 +75,7 @@ from hso_tpu.cameras import PinholeCamera
 from hso_tpu.config import Config
 from hso_tpu.math import se3np
 from hso_tpu.ops.detect import detect_features
-from hso_tpu.pipeline.frame_handler import FrameHandler
+from hso_tpu.pipeline.frame_handler import SEED_RING, FrameHandler
 from hso_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 from hso_tpu.utils.evaluate import ate
 from hso_tpu.utils.synthetic import BoxScene
@@ -253,6 +262,9 @@ def main() -> None:
         ba_args, ba_kw = load_ba_problem(BA_NPZ)
     from hso_tpu.pipeline.ba_glue import local_bundle_adjustment as orig_ba
     from hso_tpu.image.pyramid import build_frame_pyramids
+    from hso_tpu.math import se3
+    from hso_tpu.mapping.depth_filter import harvest_and_prune, init_seeds
+    from hso_tpu.ops.detect import occupancy_grid
 
     # ---- snapshot the live map state for the steady-state scan.  The scan
     # step IS the pipeline's fused per-frame step (FrameHandler._fused_step /
@@ -275,40 +287,148 @@ def main() -> None:
     scan_imgs = jnp.asarray(np.stack(frames[k:k + N_SCAN]))
     kf_sched = jnp.asarray((np.arange(N_SCAN) % KF_EVERY) == KF_EVERY - 1)
 
-    def step(snap, carry, inp):
+    # ---- EVOLVING-MAP scan: the map state (point tables, keyframe pose
+    # registry, seed-host ring, seeds) lives in the scan CARRY and keyframe
+    # steps mutate it on device — detection feeds seed init, the seed
+    # harvest ACTIVATES converged seeds into a reserved point-table region
+    # (they become matchable CANDIDATEs on subsequent frames), the pose
+    # registry and ring grow, and the windowed Schur BA solves the captured
+    # covisibility problem.  Host-side-only work (BA window assembly /
+    # pose writeback, TEMPORARY-point lifecycle) is the documented residual
+    # difference from add_image. ----
+    R_RES = 512        # reserved slots for in-scan activations (ring)
+    R_ACT = 64         # activation cap per keyframe
+    P0 = vo.points.p_max
+    P_T = P0 + R_RES + 1                    # +1 trash row absorbs masked writes
+    TRASH = P_T - 1
+    S_SEEDS = int(np.asarray(vo.seeds["valid"]).shape[0])
+    kf0 = len(vo.kfs.frames)
+    batch0 = vo.batch_counter
+    TYPE_CAND_VALID = 8 + 2                 # pack_light(CANDIDATE, valid)
+
+    def padP(a, fill=0.0):
+        pad = [(0, P_T - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+        return jnp.pad(a, pad, constant_values=fill)
+
+    MUT_KEYS = ("light", "pos_w", "patch_win", "patch_anchor", "patch_px",
+                "patch_f", "patch_level", "patch_grad", "species", "patch_kf")
+
+    def make_state0(snap):
+        st = {k: padP(snap[k]) for k in MUT_KEYS}
+        st["kf_poses"] = snap["kf_poses"]
+        st["kf_exposure"] = snap["kf_exposure"]
+        st["ring_T"] = snap["ring_T"]
+        st["ring_exp"] = snap["ring_exp"]
+        st["ring_kf"] = jnp.asarray(vo.seed_ring.astype(np.int32))
+        st["kf_count"] = jnp.int32(kf0)
+        st["batch"] = jnp.int32(batch0)
+        st["cursor"] = jnp.int32(0)
+        return st
+
+    def step(carry, inp):
         img, is_kf = inp
-        T_prev, prev_pyr, prev_gm, prev_it, exp_prev, obs, seeds, acc = carry
+        (T_prev, prev_pyr, prev_gm, prev_it, exp_prev, obs, seeds, acc,
+         st) = carry
+        snap_t = {k: st[k] for k in MUT_KEYS + (
+            "kf_poses", "kf_exposure", "ring_T", "ring_exp")}
         out = step_fn(img, prev_pyr, prev_gm, T_prev, obs, prev_it, exp_prev,
-                      I_rel, snap, seeds, jnp.float32(px_err_angle), acc)
+                      I_rel, snap_t, seeds, jnp.float32(px_err_angle), acc)
         data = out["data"]
 
-        # keyframe-amortised work: hybrid detection + windowed Schur BA
-        def kf_work(_):
-            occ = jnp.zeros((-(-cam.height // 32), -(-cam.width // 32)), bool)
+        def kf_work(args):
+            st, seeds = args
+            st = dict(st)
+            kf_idx = st["kf_count"]
+            slot = jnp.mod(st["batch"], SEED_RING)
+            st["kf_poses"] = st["kf_poses"].at[kf_idx].set(out["T_new"])
+            st["kf_exposure"] = st["kf_exposure"].at[kf_idx].set(out["exposure"])
+            st["ring_T"] = st["ring_T"].at[slot].set(out["T_new"])
+            st["ring_exp"] = st["ring_exp"].at[slot].set(out["exposure"])
+            st["ring_kf"] = st["ring_kf"].at[slot].set(kf_idx)
+
+            # windowed Schur BA (captured covisibility problem)
+            ba = orig_ba(*ba_args, **ba_kw)
+
+            # seed harvest + device-side activation of converged seeds
+            seeds_w = seeds  # windows needed for activation below
+            seeds2, bundle = harvest_and_prune(
+                seeds, st["batch"], st["ring_T"], cfg.max_seed_kf_batches,
+                4.0, float(cam.focal_mean))
+            conv = bundle[:, 0] > 0.5
+            _, rows = jax.lax.top_k(
+                jnp.where(conv, S_SEEDS - jnp.arange(S_SEEDS), 0), R_ACT)
+            taken = conv[rows]
+            b_r = bundle[rows]
+            host_slot = b_r[:, 2].astype(jnp.int32)
+            mu = jnp.maximum(b_r[:, 12], 1e-9)
+            f_s = b_r[:, 5:8]
+            T_h = st["ring_T"][host_slot]
+            pos_new = se3.apply(se3.inv(T_h), f_s / mu[:, None])
+            off = jnp.cumsum(taken.astype(jnp.int32)) - 1
+            tgt = jnp.where(taken,
+                            P0 + jnp.mod(st["cursor"] + off, R_RES), TRASH)
+            st["pos_w"] = st["pos_w"].at[tgt].set(pos_new.astype(jnp.float32))
+            st["light"] = st["light"].at[tgt].set(TYPE_CAND_VALID)
+            hw = seeds_w["host_win"].shape[-1]
+            c0 = (hw - 24) // 2
+            st["patch_win"] = st["patch_win"].at[tgt].set(
+                seeds_w["host_win"][rows, c0:c0 + 24, c0:c0 + 24])
+            st["patch_anchor"] = st["patch_anchor"].at[tgt].set(
+                seeds_w["host_anchor"][rows] + c0)
+            st["patch_px"] = st["patch_px"].at[tgt].set(b_r[:, 3:5])
+            st["patch_f"] = st["patch_f"].at[tgt].set(f_s)
+            st["patch_level"] = st["patch_level"].at[tgt].set(
+                b_r[:, 8].astype(st["patch_level"].dtype))
+            st["patch_grad"] = st["patch_grad"].at[tgt].set(b_r[:, 10:12])
+            st["species"] = st["species"].at[tgt].set(
+                b_r[:, 9].astype(st["species"].dtype))
+            st["patch_kf"] = st["patch_kf"].at[tgt].set(st["ring_kf"][host_slot])
+            st["cursor"] = jnp.mod(
+                st["cursor"] + jnp.sum(taken.astype(jnp.int32)), R_RES)
+
+            # detection (occupancy = this frame's inlier matches) → new seeds
+            occ = occupancy_grid(out["px"], out["inlier"],
+                                 cam.height, cam.width, 32)
             det = detect_features(data["pyr"][:3], data["sobel_x"],
                                   data["sobel_y"], data["grad_mean"], occ,
                                   n_out=cfg.n_fts_max)
-            ba = orig_ba(*ba_args, **ba_kw)
-            return (jnp.sum(det["score"]) + ba["chi2_final"]).astype(jnp.float32)
+            f_det = cam.cam2world(det["px"]).astype(jnp.float32)
+            seeds3 = init_seeds(
+                seeds2, det, data["pyr"], f_det, slot, st["batch"] + 1,
+                out["depth_mean"], 0.5 * jnp.maximum(out["depth_min"], 1e-3),
+                cfg.seed_converge_sigma2_thresh)
 
-        kf_chk = jax.lax.cond(is_kf, kf_work,
-                              lambda _: jnp.float32(0.0), 0)
+            st["kf_count"] = kf_idx + 1
+            st["batch"] = st["batch"] + 1
+            chk = (jnp.sum(det["score"]) + ba["chi2_final"]
+                   + jnp.sum(taken.astype(jnp.float32))).astype(jnp.float32)
+            return st, seeds3, chk
+
+        def no_kf(args):
+            st, seeds = args
+            return st, seeds, jnp.float32(0.0)
+
+        st, seeds_new, kf_chk = jax.lax.cond(
+            is_kf, kf_work, no_kf, (st, out["seeds"]))
 
         chk = (kf_chk + out["n_seeds_updated"].astype(jnp.float32)
                + out["n_matches"].astype(jnp.float32) + out["err_px"])
         carry = (out["T_new"], data["pyr"], data["grad_mean"],
                  data["intensity_mean"], out["exposure"], out["obs_next"],
-                 out["seeds"], out["acc"])
+                 seeds_new, out["acc"], st)
         return carry, (out["T_new"], chk)
 
     @jax.jit
     def run(imgs, seeds, snap):
-        acc0 = jnp.zeros((2, vo.points.p_max), jnp.int32)
-        carry0 = (T0, pyr0, gm0, it0, exp0, obs0, seeds, acc0)
-        (_, _, _, _, _, _, seeds_fin, _), (traj, chk) = jax.lax.scan(
-            functools.partial(step, snap), carry0, (imgs, kf_sched))
+        acc0 = jnp.zeros((2, P_T), jnp.int32)
+        st0 = make_state0(snap)
+        carry0 = (T0, pyr0, gm0, it0, exp0, obs0, seeds, acc0, st0)
+        (_, _, _, _, _, _, seeds_fin, _, st_fin), (traj, chk) = jax.lax.scan(
+            step, carry0, (imgs, kf_sched))
         # consume all stage outputs so XLA cannot dead-code-eliminate them
-        return traj, jnp.sum(chk) + jnp.sum(seeds_fin["mu"])
+        return traj, (jnp.sum(chk) + jnp.sum(seeds_fin["mu"])
+                      + jnp.sum(st_fin["pos_w"]) * 1e-9
+                      + st_fin["cursor"].astype(jnp.float32))
 
     _phase("scan inputs staged")
     traj, chk = run(scan_imgs, seeds0, snap)    # warmup / compile

@@ -71,6 +71,17 @@ class Config:
                                     #: point-block-sharded multi-device solver
     ba_n_devices: int = 0           #: mesh size for distributed BA (0 = all)
 
+    # ---- matching ----
+    patch_source: str = "recency"   #: reference-patch view per map point:
+                                    #: "recency" keeps ONE memoized view
+                                    #: refreshed at each observing keyframe;
+                                    #: "closest" additionally keeps the host
+                                    #: view and picks the smaller viewing
+                                    #: angle per match (Point::getCloseViewObs
+                                    #: analogue over the two stored views,
+                                    #: /root/reference/src/point.cpp:97-137)
+                                    #: — A/B artifact: artifacts/patch_source_ab.json
+
     # ---- photometric ----
     photometric_calib: bool = False      #: online response/vignette calibration
                                          #: (TUM MonoVO-class auto-exposure input)

@@ -143,16 +143,21 @@ def solve_photometric(
 
 @jax.jit
 def correct_image(img, c, v, r2_norm_img):
-    """Photometrically linearize a frame:  I_corr = U(I) / V(r).
+    """Photometrically linearize a frame:  I_corr = U(I) / V(r) · g.
 
-    Analytic application (exp/log elementwise) — no LUT gather.  I = 0 maps
-    to 0; output clipped to [0, 255] to stay in the pipeline's intensity
-    convention.
+    Analytic application (exp/log elementwise) — no LUT gather.  The gauge
+    factor g = 128 / U(128) keeps mid-grey fixed: the model's scale gauge
+    is U(255)=255, so a strong response estimate (e.g. inverting γ≈0.5)
+    would otherwise crush most of the intensity range toward black and
+    starve the gradient-based detector/tracker of contrast; the tracker's
+    per-frame exposure-ratio estimate absorbs the global gain.  I = 0 maps
+    to 0; output clipped to [0, 255].
     """
     img_f = img.astype(jnp.float32)
     lu = log_inverse_response(img_f, c)
     lv = log_vignette(r2_norm_img, v)
-    out = jnp.exp(lu - lv)
+    lg = jnp.log(128.0) - log_inverse_response(jnp.float32(128.0), c)
+    out = jnp.exp(lu - lv + lg)
     out = jnp.where(img_f <= 0.0, 0.0, out)
     return jnp.clip(out, 0.0, 255.0)
 
@@ -283,10 +288,45 @@ class OnlinePhotometricCalibrator:
         out = solve_photometric(
             jnp.asarray(inten), jnp.asarray(r2), jnp.asarray(valid)
         )
-        self.c = np.asarray(out["c"])
-        self.v = np.asarray(out["v"])
-        self.last_rms = (float(out["rms_before"]), float(out["rms_after"]))
-        self.calibrated = True
+        c_new = np.asarray(out["c"])
+        v_new = np.asarray(out["v"])
+        rms_b, rms_a = float(out["rms_before"]), float(out["rms_after"])
+        self.last_rms = (rms_b, rms_a)
+        # ---- adoption gates: a mis-fit under occlusion/noise must never
+        # poison tracking (correct() feeds every downstream stage).  Require
+        # (a) finite, (b) a genuinely better fit than the identity model,
+        # (c) a small absolute residual, (d) sane correction magnitudes:
+        # vignette within [0.25, 1.3] at the corners, response deviation
+        # |Σ c φ| < 1.2 in log space over the usable range. ----
+        ok = (np.all(np.isfinite(c_new)) and np.all(np.isfinite(v_new))
+              and rms_a < 0.85 * rms_b and rms_a < 0.15)
+        if ok:
+            x = np.linspace(0.05, 0.99, 64)
+            resp_dev = sum(c_new[k - 1] * x ** k * (1 - x)
+                           for k in range(1, N_RESP + 1))
+            vig_corner = np.exp(np.sum(v_new * np.ones(N_VIG)))
+            # the fitted inverse response must be a plausible camera curve:
+            # bounded deviation, strictly monotone, and with a bounded
+            # dynamic range of slopes (a true gamma≈0.5 curve has slope
+            # ratio ~15 over this interval; oscillatory runaway fits — the
+            # failure mode under heavy noise+occlusion — have negative or
+            # wildly varying slopes long before their residual degrades)
+            log_u = np.log(x) + resp_dev
+            du = np.diff(log_u) / np.diff(np.log(x))   # d logU / d log x
+            ok = (np.max(np.abs(resp_dev)) < 1.2
+                  and 0.25 < vig_corner < 1.3
+                  and np.all(du > 0.05)
+                  and np.max(du) / max(np.min(du), 1e-6) < 25.0)
+        if ok:
+            if self.calibrated:
+                # smooth coefficient updates: per-solve jumps in the applied
+                # response shape look like global illumination steps to the
+                # tracker between consecutive frames
+                self.c = 0.7 * self.c + 0.3 * c_new
+                self.v = 0.7 * self.v + 0.3 * v_new
+            else:
+                self.c, self.v = c_new, v_new
+            self.calibrated = True
         return {k: np.asarray(v) for k, v in out.items()}
 
     # ---------------------------------------------------------------- apply

@@ -613,7 +613,8 @@ class FrameHandler:
             cfg.coarse_n_iter, cfg.coarse_pattern_offset,
             cfg.poseoptim_thresh, n_obs_pad=self._n_obs_pad,
             edgelet_cos_angle=cfg.edgelet_angle,
-            align_max_iter=cfg.align_max_iter)
+            align_max_iter=cfg.align_max_iter,
+            patch_closest=(cfg.patch_source == "closest"))
 
     def _bump_map_version(self) -> None:
         self._map_version += 1
@@ -627,6 +628,16 @@ class FrameHandler:
         "patch_win", "patch_anchor", "patch_px", "patch_f", "patch_level",
         "patch_grad", "species", "patch_kf",
     )
+    #: extra per-point tables the "closest" patch-source mode needs on device
+    HOST_SNAP_FIELDS = (
+        "host_win", "host_anchor", "host_px", "host_f", "host_level",
+        "grad", "host_kf",
+    )
+
+    def _snap_fields(self):
+        if self.cfg.patch_source == "closest":
+            return self.PATCH_SNAP_FIELDS + self.HOST_SNAP_FIELDS
+        return self.PATCH_SNAP_FIELDS
 
     def _snapshot(self) -> dict:
         """Device-side map snapshot for the fused step: heavy members are
@@ -658,7 +669,7 @@ class FrameHandler:
                 idx_pad = np.full(width, sel[0], np.int32)
                 idx_pad[: len(sel)] = sel
                 idx_dev = jnp.asarray(idx_pad)
-                for fld in self.PATCH_SNAP_FIELDS:
+                for fld in self._snap_fields():
                     src = getattr(pts, fld)[idx_pad]
                     heavy[fld] = scatter_rows(
                         heavy[fld], idx_dev, jnp.asarray(src))
@@ -684,6 +695,9 @@ class FrameHandler:
                 "species": jnp.asarray(pts.species),
                 "patch_kf": jnp.asarray(pts.patch_kf),
             }
+            for fld in self.HOST_SNAP_FIELDS:
+                if fld in self._snap_fields():
+                    self._snap_heavy[fld] = jnp.asarray(getattr(pts, fld))
             self._dirty_rows.clear()
             self._snap_heavy_version = self._map_version
         if self._snap_light is None or self._snap_light_version != self._map_version:
@@ -1221,6 +1235,15 @@ class FrameHandler:
         self._snap_light = None
         self._dirty_rows = set()
         self._acc = None
+        if self.photo is not None:
+            # a tracking collapse may have been CAUSED by a bad photometric
+            # estimate — restart calibration from identity with the map
+            from hso_tpu.photometric import OnlinePhotometricCalibrator
+
+            solve_every, min_frames = self.photo.solve_every, self.photo.min_frames
+            self.photo = OnlinePhotometricCalibrator(self.cam)
+            self.photo.solve_every = solve_every
+            self.photo.min_frames = min_frames
         self._last_seed_match_px = None
         self._last_seed_matched = None
         self._bump_map_version()

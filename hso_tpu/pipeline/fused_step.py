@@ -69,7 +69,8 @@ def scatter_rows(dst, idx, src):
 def make_frame_step(cam, grid: tuple, klt_max_level: int, klt_min_level: int,
                     coarse_n_iter: int, pattern_offset: int,
                     poseoptim_thresh: float, n_obs_pad: int = 0,
-                    edgelet_cos_angle: float = 0.86, align_max_iter: int = 10):
+                    edgelet_cos_angle: float = 0.86, align_max_iter: int = 10,
+                    patch_closest: bool = False):
     """Build the jitted fused per-frame step for a fixed camera/config.
 
     ``n_obs_pad`` > C pads the returned ``obs_next`` arrays (and accepted
@@ -123,18 +124,54 @@ def make_frame_step(cam, grid: tuple, klt_max_level: int, klt_min_level: int,
             cell=cell, grid_h=gh, grid_w=gw)
 
         def cand_rows(cp, cp_valid):
-            pkf = snap["patch_kf"][cp]
+            if patch_closest:
+                # getCloseViewObs over the two stored views (point.cpp:
+                # 97-137): pick host vs latest-keyframe view by viewing
+                # angle to the current camera
+                p_w = snap["pos_w"][cp]
+                c_cur = se3.translation(se3.inv(T_cur))
+
+                def cosang(kf_idx):
+                    c_v = se3.translation(se3.inv(snap["kf_poses"][kf_idx]))
+                    a = c_v - p_w
+                    b = c_cur[None, :] - p_w
+                    return jnp.sum(a * b, -1) / (
+                        jnp.linalg.norm(a, axis=-1)
+                        * jnp.linalg.norm(b, axis=-1) + 1e-9)
+
+                use_host = (cosang(snap["host_kf"][cp])
+                            > cosang(snap["patch_kf"][cp]))
+
+                def pick(h, p):
+                    m = use_host.reshape((-1,) + (1,) * (h.ndim - 1))
+                    return jnp.where(m, h, p)
+
+                pkf = pick(snap["host_kf"][cp], snap["patch_kf"][cp])
+                win = pick(snap["host_win"][cp], snap["patch_win"][cp])
+                anchor = pick(snap["host_anchor"][cp], snap["patch_anchor"][cp])
+                px = pick(snap["host_px"][cp], snap["patch_px"][cp])
+                f = pick(snap["host_f"][cp], snap["patch_f"][cp])
+                lvl = pick(snap["host_level"][cp], snap["patch_level"][cp])
+                grad = pick(snap["grad"][cp], snap["patch_grad"][cp])
+            else:
+                pkf = snap["patch_kf"][cp]
+                win = snap["patch_win"][cp]
+                anchor = snap["patch_anchor"][cp]
+                px = snap["patch_px"][cp]
+                f = snap["patch_f"][cp]
+                lvl = snap["patch_level"][cp]
+                grad = snap["patch_grad"][cp]
             T_p = snap["kf_poses"][pkf]
             p_in_patch = se3.apply(T_p, snap["pos_w"][cp])
             idist_p = 1.0 / jnp.maximum(
                 jnp.linalg.norm(p_in_patch, axis=-1), 1e-9)
             return {
-                "host_win": snap["patch_win"][cp],
-                "host_anchor": snap["patch_anchor"][cp],
-                "host_px": snap["patch_px"][cp],
-                "host_f": snap["patch_f"][cp],
-                "host_level": snap["patch_level"][cp],
-                "grad": snap["patch_grad"][cp],
+                "host_win": win,
+                "host_anchor": anchor,
+                "host_px": px,
+                "host_f": f,
+                "host_level": lvl,
+                "grad": grad,
                 "species": snap["species"][cp],
                 "idist": idist_p.astype(jnp.float32),
                 "T_host_w": T_p,

@@ -126,7 +126,32 @@ def main() -> None:
         st_g, xyz_g = load_any(args["gt"])
         ia, ib = associate(st_e, st_g, max_dt=float(args.get("max_dt", 0.02)))
         if len(ia) >= 3:
-            print(ate(rows_e[ia, :3], xyz_g[ib]))
+            r = ate(rows_e[ia, :3], xyz_g[ib])
+            print(r)
+            if args.get("ate_json"):
+                import json
+                import datetime
+
+                with open(args["ate_json"], "w") as fh:
+                    json.dump({
+                        "sequence": args["image"],
+                        "protocol": "scripts/run_dataset.py (the reference's "
+                                    "test_dataset protocol, /root/reference/"
+                                    "test/euroc_batch.sh analogue)",
+                        "n_frames": end - start,
+                        "n_keyframes": n_kf,
+                        "n_failures": n_fail,
+                        "ate_rmse_m": round(float(r.rmse), 4),
+                        "ate_mean_m": round(float(r.mean), 4),
+                        "ate_median_m": round(float(r.median), 4),
+                        "ate_max_m": round(float(r.max), 4),
+                        "gt_pairs": len(ia),
+                        "scale": round(float(r.scale), 4),
+                        "host_loop_fps": round((end - start) / dt, 2),
+                        "hardware": "1x TPU v5e (axon dev tunnel)",
+                        "date": datetime.date.today().isoformat(),
+                    }, fh, indent=1)
+                print(f"ate json -> {args['ate_json']}")
         else:
             print(f"ATE: only {len(ia)} associated pairs — skipped")
 

@@ -18,6 +18,15 @@ import jax
 # backend).
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compile cache: XLA-CPU compiles dominate suite wall-clock and
+# are identical across runs/processes (incl. pytest-xdist workers)
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np
 import pytest
 
