@@ -310,8 +310,7 @@ def main() -> None:
         pad = [(0, P_T - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
         return jnp.pad(a, pad, constant_values=fill)
 
-    MUT_KEYS = ("light", "pos_w", "patch_win", "patch_anchor", "patch_px",
-                "patch_f", "patch_level", "patch_grad", "species", "patch_kf")
+    MUT_KEYS = ("light", "pos_w", "pt_pack", "species")
 
     def make_state0(snap):
         st = {k: padP(snap[k]) for k in MUT_KEYS}
@@ -371,18 +370,20 @@ def main() -> None:
             st["light"] = st["light"].at[tgt].set(TYPE_CAND_VALID)
             hw = seeds_w["host_win"].shape[-1]
             c0 = (hw - 24) // 2
-            st["patch_win"] = st["patch_win"].at[tgt].set(
-                seeds_w["host_win"][rows, c0:c0 + 24, c0:c0 + 24])
-            st["patch_anchor"] = st["patch_anchor"].at[tgt].set(
-                seeds_w["host_anchor"][rows] + c0)
-            st["patch_px"] = st["patch_px"].at[tgt].set(b_r[:, 3:5])
-            st["patch_f"] = st["patch_f"].at[tgt].set(f_s)
-            st["patch_level"] = st["patch_level"].at[tgt].set(
-                b_r[:, 8].astype(st["patch_level"].dtype))
-            st["patch_grad"] = st["patch_grad"].at[tgt].set(b_r[:, 10:12])
+            new_rows = jnp.concatenate([
+                seeds_w["host_win"][rows, c0:c0 + 24, c0:c0 + 24]
+                .reshape(R_ACT, -1),
+                b_r[:, 3:5],                                     # px
+                f_s,                                             # f
+                (seeds_w["host_anchor"][rows] + c0).astype(jnp.float32),
+                b_r[:, 8:9],                                     # level
+                b_r[:, 10:12],                                   # grad
+                b_r[:, 9:10],                                    # species
+                st["ring_kf"][host_slot][:, None].astype(jnp.float32),
+            ], axis=1)
+            st["pt_pack"] = st["pt_pack"].at[tgt].set(new_rows)
             st["species"] = st["species"].at[tgt].set(
                 b_r[:, 9].astype(st["species"].dtype))
-            st["patch_kf"] = st["patch_kf"].at[tgt].set(st["ring_kf"][host_slot])
             st["cursor"] = jnp.mod(
                 st["cursor"] + jnp.sum(taken.astype(jnp.int32)), R_RES)
 

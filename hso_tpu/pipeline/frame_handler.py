@@ -624,32 +624,38 @@ class FrameHandler:
         the device snapshot mirror at the next _snapshot)."""
         self._dirty_rows.update(np.atleast_1d(np.asarray(rows, np.int64)).tolist())
 
-    PATCH_SNAP_FIELDS = (
-        "patch_win", "patch_anchor", "patch_px", "patch_f", "patch_level",
-        "patch_grad", "species", "patch_kf",
-    )
-    #: extra per-point tables the "closest" patch-source mode needs on device
-    HOST_SNAP_FIELDS = (
-        "host_win", "host_anchor", "host_px", "host_f", "host_level",
-        "grad", "host_kf",
-    )
-
-    def _snap_fields(self):
-        if self.cfg.patch_source == "closest":
-            return self.PATCH_SNAP_FIELDS + self.HOST_SNAP_FIELDS
-        return self.PATCH_SNAP_FIELDS
+    def _pt_pack_rows(self, idx, host: bool = False) -> np.ndarray:
+        """Packed per-point patch-source rows for the device mirror (layout:
+        fused_step.PT_COLS — flattened window then px/f/anchor/level/grad/
+        species/kf)."""
+        pts = self.points
+        if host:
+            win, px, f = pts.host_win, pts.host_px, pts.host_f
+            anc, lvl, grad, kf = (pts.host_anchor, pts.host_level, pts.grad,
+                                  pts.host_kf)
+        else:
+            win, px, f = pts.patch_win, pts.patch_px, pts.patch_f
+            anc, lvl, grad, kf = (pts.patch_anchor, pts.patch_level,
+                                  pts.patch_grad, pts.patch_kf)
+        return np.concatenate([
+            win[idx].reshape(len(idx), -1), px[idx], f[idx],
+            anc[idx], lvl[idx, None], grad[idx],
+            pts.species[idx, None], kf[idx, None],
+        ], axis=1).astype(np.float32)
 
     def _snapshot(self) -> dict:
         """Device-side map snapshot for the fused step: heavy members are
         refreshed only when the map changed (keyframe events bump
         ``_map_version``) — and then INCREMENTALLY: small members (positions,
-        keyframe poses) re-upload whole, while the big per-point patch
-        tables are patched with a fixed-width row scatter over the rows
-        marked dirty since the last refresh (the full patch_win table is
-        ~9 MB; a keyframe touches a few hundred rows)."""
+        keyframe poses) re-upload whole, while the packed per-point table
+        (``pt_pack``, ~9 MB) is patched with a fixed-width row scatter over
+        the rows marked dirty since the last refresh (a keyframe touches a
+        few hundred rows)."""
         from hso_tpu.pipeline.fused_step import pack_light, scatter_rows
 
         pts = self.points
+        closest = self.cfg.patch_source == "closest"
+        all_rows = np.arange(pts.p_max)
         if self._snap_heavy is not None and self._snap_heavy_version != self._map_version:
             heavy = dict(self._snap_heavy)
             heavy["pos_w"] = jnp.asarray(
@@ -669,10 +675,16 @@ class FrameHandler:
                 idx_pad = np.full(width, sel[0], np.int32)
                 idx_pad[: len(sel)] = sel
                 idx_dev = jnp.asarray(idx_pad)
-                for fld in self._snap_fields():
-                    src = getattr(pts, fld)[idx_pad]
-                    heavy[fld] = scatter_rows(
-                        heavy[fld], idx_dev, jnp.asarray(src))
+                heavy["pt_pack"] = scatter_rows(
+                    heavy["pt_pack"], idx_dev,
+                    jnp.asarray(self._pt_pack_rows(idx_pad)))
+                heavy["species"] = scatter_rows(
+                    heavy["species"], idx_dev,
+                    jnp.asarray(pts.species[idx_pad]))
+                if closest:
+                    heavy["host_pack"] = scatter_rows(
+                        heavy["host_pack"], idx_dev,
+                        jnp.asarray(self._pt_pack_rows(idx_pad, host=True)))
             self._dirty_rows.clear()
             self._snap_heavy = heavy
             self._snap_heavy_version = self._map_version
@@ -686,18 +698,12 @@ class FrameHandler:
                 "ring_exp": jnp.asarray(np.array(
                     [self.kfs.exposure[i] if i >= 0 else 1.0
                      for i in self.seed_ring], np.float32)),
-                "patch_win": jnp.asarray(pts.patch_win),
-                "patch_anchor": jnp.asarray(pts.patch_anchor),
-                "patch_px": jnp.asarray(pts.patch_px),
-                "patch_f": jnp.asarray(pts.patch_f),
-                "patch_level": jnp.asarray(pts.patch_level),
-                "patch_grad": jnp.asarray(pts.patch_grad),
+                "pt_pack": jnp.asarray(self._pt_pack_rows(all_rows)),
                 "species": jnp.asarray(pts.species),
-                "patch_kf": jnp.asarray(pts.patch_kf),
             }
-            for fld in self.HOST_SNAP_FIELDS:
-                if fld in self._snap_fields():
-                    self._snap_heavy[fld] = jnp.asarray(getattr(pts, fld))
+            if closest:
+                self._snap_heavy["host_pack"] = jnp.asarray(
+                    self._pt_pack_rows(all_rows, host=True))
             self._dirty_rows.clear()
             self._snap_heavy_version = self._map_version
         if self._snap_light is None or self._snap_light_version != self._map_version:

@@ -40,9 +40,19 @@ from hso_tpu.track.pose_optimizer import optimize_pose
 #: snapshot keys that change only at keyframe events (heavy, cached device-side)
 SNAP_HEAVY = (
     "pos_w", "kf_poses", "kf_exposure", "ring_T", "ring_exp",
-    "patch_win", "patch_anchor", "patch_px", "patch_f", "patch_level",
-    "patch_grad", "species", "patch_kf",
+    "pt_pack", "species",
 )
+
+#: packed per-point patch-source row layout (snap["pt_pack"], (P, PT_COLS)
+#: float32).  TPU gathers are custom calls with real per-op cost: reading
+#: ~10 per-point fields per match pass as separate gathers is strictly
+#: worse than ONE row gather sliced afterwards.  ints (anchor/level/
+#: species/kf) are exact in f32 at their ranges.
+PT_WIN = 24
+PT_NW = PT_WIN * PT_WIN
+PT_COLS = PT_NW + 12
+# column offsets after the flattened window:
+#   [px 0:2 | f 2:5 | anchor 5:7 | level 7 | grad 8:10 | species 10 | kf 11]
 #: the per-frame snapshot member: point lifecycle state packed into ONE
 #: int32 array (type in bits 0-2, valid in bit 3) so the host uploads a
 #: single small buffer per frame through the device tunnel
@@ -139,40 +149,29 @@ def make_frame_step(cam, grid: tuple, klt_max_level: int, klt_min_level: int,
                         jnp.linalg.norm(a, axis=-1)
                         * jnp.linalg.norm(b, axis=-1) + 1e-9)
 
-                use_host = (cosang(snap["host_kf"][cp])
-                            > cosang(snap["patch_kf"][cp]))
-
-                def pick(h, p):
-                    m = use_host.reshape((-1,) + (1,) * (h.ndim - 1))
-                    return jnp.where(m, h, p)
-
-                pkf = pick(snap["host_kf"][cp], snap["patch_kf"][cp])
-                win = pick(snap["host_win"][cp], snap["patch_win"][cp])
-                anchor = pick(snap["host_anchor"][cp], snap["patch_anchor"][cp])
-                px = pick(snap["host_px"][cp], snap["patch_px"][cp])
-                f = pick(snap["host_f"][cp], snap["patch_f"][cp])
-                lvl = pick(snap["host_level"][cp], snap["patch_level"][cp])
-                grad = pick(snap["grad"][cp], snap["patch_grad"][cp])
+                hp = snap["host_pack"][cp]
+                pp = snap["pt_pack"][cp]
+                use_host = (
+                    cosang(hp[:, PT_NW + 11].astype(jnp.int32))
+                    > cosang(pp[:, PT_NW + 11].astype(jnp.int32)))
+                pk = jnp.where(use_host[:, None], hp, pp)
             else:
-                pkf = snap["patch_kf"][cp]
-                win = snap["patch_win"][cp]
-                anchor = snap["patch_anchor"][cp]
-                px = snap["patch_px"][cp]
-                f = snap["patch_f"][cp]
-                lvl = snap["patch_level"][cp]
-                grad = snap["patch_grad"][cp]
+                pk = snap["pt_pack"][cp]          # ONE gather for all fields
+            win = pk[:, :PT_NW].reshape(-1, PT_WIN, PT_WIN)
+            c = pk[:, PT_NW:]
+            pkf = c[:, 11].astype(jnp.int32)
             T_p = snap["kf_poses"][pkf]
             p_in_patch = se3.apply(T_p, snap["pos_w"][cp])
             idist_p = 1.0 / jnp.maximum(
                 jnp.linalg.norm(p_in_patch, axis=-1), 1e-9)
             return {
                 "host_win": win,
-                "host_anchor": anchor,
-                "host_px": px,
-                "host_f": f,
-                "host_level": lvl,
-                "grad": grad,
-                "species": snap["species"][cp],
+                "host_anchor": c[:, 5:7].astype(jnp.int32),
+                "host_px": c[:, 0:2],
+                "host_f": c[:, 2:5],
+                "host_level": c[:, 7].astype(jnp.int32),
+                "grad": c[:, 8:10],
+                "species": c[:, 10].astype(jnp.int32),
                 "idist": idist_p.astype(jnp.float32),
                 "T_host_w": T_p,
                 "exposure_host": snap["kf_exposure"][pkf],
