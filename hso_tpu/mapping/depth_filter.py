@@ -287,24 +287,38 @@ def update_seeds(
     # reference's doLineStereo likewise goes directly from the best epipolar
     # sample to KLTLimited2D/1D, matcher.cpp:1004-1049)
     is_corner = seeds["species"] == 0
-    rm = align_mixed(
-        ~is_corner, grad_cur, ref_border, sr["px_best"],
-        valid=good, windows=windows, anchors=anchors, img_hw=img_hw,
-    )
-    px_ref_l = rm["px"]
-    refined_ok = rm["converged"]
-    patch_fin = rm["cur_patch"]
-    score = ncc(ref_patch, patch_fin)
+    from hso_tpu.ops.window_pallas import on_tpu
+
+    if on_tpu():
+        # fused Pallas kernel (ops/align_pallas.py): LM refine + NCC +
+        # gradient sample in one pass over the packed search windows
+        from hso_tpu.ops.align_pallas import align_match_tpu
+
+        out8 = align_match_tpu(
+            ~is_corner, grad_cur, ref_border, sr["px_best"], good, windows,
+            anchors[0], anchors[1], img_hw[0], img_hw[1],
+            win=int(windows.shape[-1]), n_iter=10)
+        px_ref_l = out8[:2].T
+        refined_ok = out8[2] > 0.5
+        score = out8[3]
+        gx_c, gy_c = out8[4], out8[5]
+    else:
+        rm = align_mixed(
+            ~is_corner, grad_cur, ref_border, sr["px_best"],
+            valid=good, windows=windows, anchors=anchors, img_hw=img_hw,
+        )
+        px_ref_l = rm["px"]
+        refined_ok = rm["converged"]
+        score = ncc(ref_patch, rm["cur_patch"])
+        # edgelet normal agreement in the current frame (checkNormal):
+        # gradient direction sampled from the packed search windows
+        # (full-image Sobel sampling cost ~1.2 ms/frame)
+        from hso_tpu.ops.gatherless import sample_gradient_in_windows
+
+        gx_c, gy_c = sample_gradient_in_windows(
+            windows, anchors[0], anchors[1], px_ref_l[:, 0], px_ref_l[:, 1]
+        )
     meas_ok = good & refined_ok & (score > 0.8)
-
-    # edgelet normal agreement in the current frame (checkNormal): gradient
-    # direction sampled from the packed search windows (full-image Sobel
-    # sampling cost ~1.2 ms/frame; the window stencil is free)
-    from hso_tpu.ops.gatherless import sample_gradient_in_windows
-
-    gx_c, gy_c = sample_gradient_in_windows(
-        windows, anchors[0], anchors[1], px_ref_l[:, 0], px_ref_l[:, 1]
-    )
     gn = jnp.stack([gx_c, gy_c], -1)
     gn = gn / jnp.maximum(jnp.linalg.norm(gn, axis=-1, keepdims=True), 1e-9)
     normal_ok = jnp.where(

@@ -84,22 +84,36 @@ def match_points(
     windows, anchors, img_hw = pack_level_windows(
         cur_pyr, search_level, px_init[:, 0], px_init[:, 1], 24, n_levels
     )
-    rm = align_mixed(is_edge, grad_cur, ref_border, px_init,
-                     n_iter=align_max_iter, valid=valid0,
-                     windows=windows, anchors=anchors, img_hw=img_hw)
-    px_l = rm["px"]
-    conv = rm["converged"]
-    patch = rm["cur_patch"]
+    from hso_tpu.ops.window_pallas import on_tpu
 
-    score = ncc(ref_patch, patch)
+    if on_tpu():
+        # fused Pallas kernel: LM alignment + NCC + gradient sample in one
+        # pass (ops/align_pallas.py — the staged XLA form is op-overhead
+        # bound; validated equivalent)
+        from hso_tpu.ops.align_pallas import align_match_tpu
+
+        out8 = align_match_tpu(
+            is_edge, grad_cur, ref_border, px_init, valid0, windows,
+            anchors[0], anchors[1], img_hw[0], img_hw[1],
+            win=24, n_iter=align_max_iter)
+        px_l = out8[:2].T
+        conv = out8[2] > 0.5
+        score = out8[3]
+        gx_c, gy_c = out8[4], out8[5]
+    else:
+        rm = align_mixed(is_edge, grad_cur, ref_border, px_init,
+                         n_iter=align_max_iter, valid=valid0,
+                         windows=windows, anchors=anchors, img_hw=img_hw)
+        px_l = rm["px"]
+        conv = rm["converged"]
+        score = ncc(ref_patch, rm["cur_patch"])
+        # gradient direction from the packed windows (see
+        # gatherless.sample_gradient_in_windows — full-image Sobel sampling
+        # is the expensive path on TPU)
+        gx_c, gy_c = sample_gradient_in_windows(
+            windows, anchors[0], anchors[1], px_l[:, 0], px_l[:, 1]
+        )
     disp_ok = jnp.linalg.norm(px_l - px_init, axis=-1) < 20.0
-
-    # gradient direction from the packed windows (see
-    # gatherless.sample_gradient_in_windows — full-image Sobel sampling is
-    # the expensive path on TPU)
-    gx_c, gy_c = sample_gradient_in_windows(
-        windows, anchors[0], anchors[1], px_l[:, 0], px_l[:, 1]
-    )
     gn = jnp.stack([gx_c, gy_c], -1)
     gn = gn / jnp.maximum(jnp.linalg.norm(gn, axis=-1, keepdims=True), 1e-9)
     normal_ok = jnp.where(
@@ -151,15 +165,20 @@ def select_candidates(
 
     key = priority * p + jnp.arange(p, dtype=jnp.int32)
     key = jnp.where(ok, key, -1)
-    best = jnp.full((n_cells,), -1, jnp.int32).at[cidx].max(key)
+    # scatter-free per-cell max: a (C, P) membership-masked reduction.
+    # ``.at[cidx].max`` is a TPU scatter (custom call, measured ~1.4 ms at
+    # P=4096 inside the fused frame scan); the dense compare-and-reduce is
+    # a trivially vectorized C×P pass (~1.4 M lanes here).
+    member = cidx[None, :] == jnp.arange(n_cells, dtype=jnp.int32)[:, None]
+    keyg = jnp.where(member, key[None, :], -1)       # (C, P)
+    best = jnp.max(keyg, axis=1)
     cell_valid = best >= 0
     cell_point = jnp.where(cell_valid, best % p, 0)
     cell_px = px[cell_point]
     # runner-up per cell — the reprojector's later budget passes retry a
     # cell with its next-best candidate when the first fails to match
     # (reprojector.cpp:257-330 3-pass scheduling)
-    key2 = jnp.where(key == best[cidx], -1, key)
-    best2 = jnp.full((n_cells,), -1, jnp.int32).at[cidx].max(key2)
+    best2 = jnp.max(jnp.where(keyg == best[:, None], -1, keyg), axis=1)
     cell_valid2 = best2 >= 0
     cell_point2 = jnp.where(cell_valid2, best2 % p, 0)
     return {
