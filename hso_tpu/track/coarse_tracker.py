@@ -236,7 +236,25 @@ def make_coarse_tracker(
         huber = jnp.where(few, 5.2, med + sigma)
         cutoff = jnp.where(few, 100.0, jnp.maximum(3.0 * (med + sigma), 10.0))
 
-        # ---- LM loop ----
+        # ---- LM loop: fused Pallas kernel on TPU for the IC/pinhole case
+        # (track/coarse_pallas.py — the staged XLA loop is per-op-overhead
+        # bound at ~40 ops × 10-50 iterations per level) ----
+        from hso_tpu.ops.window_pallas import on_tpu
+
+        if inverse and on_tpu() and type(cam).__name__ == "PinholeCamera":
+            from hso_tpu.ops.patterns import PATTERNS as _PATS
+            from hso_tpu.track.coarse_pallas import coarse_level_ic_tpu
+
+            pat_idx = max_level - level + pattern_offset
+            T_f, a_f, energy, nt, iters = coarse_level_ic_tpu(
+                w_cur, ref_patch, j_ic_raw, xyz_ref, au_c, av_c, vis,
+                T, a, huber, cutoff, float(fxl), float(fyl),
+                float(cam.cx * scale), float(cam.cy * scale),
+                g=G, center=c, pattern=tuple(map(tuple, _PATS[pat_idx])),
+                n_iter=n_iter, is_top=bool(is_top), border=int(border),
+                h_img=int(h), w_img=int(w))
+            return T_f, a_f, energy, nt // n_pat, iters
+
         E0, H0, b0, nt0 = evaluate(T, a, huber, cutoff)
 
         def lm_body(carry):
