@@ -160,9 +160,20 @@ def optimize_pose(
         stop = stop | ~accepted
         return T_c, chi2_c, mu, nu, stop, A_last
 
-    init = (T, chi2_0, jnp.float32(0.1), jnp.float32(2.0), jnp.bool_(False),
-            jnp.zeros((6, 6), jnp.float32))
-    T, chi2_f, _, _, _, A_last = jax.lax.fori_loop(0, n_iter, outer, init)
+    from hso_tpu.ops.window_pallas import on_tpu
+
+    if on_tpu():
+        # fused Pallas kernel for the whole trial loop
+        # (track/pose_pallas.py; the staged form is op-overhead bound)
+        from hso_tpu.track.pose_pallas import pose_lm_tpu
+
+        T, A_last, chi2_f = pose_lm_tpu(
+            T, p_world, obs_uv, grad, sqrt_inv_cov, is_edgelet,
+            is_temporary, valid, scale_pt, scale_ls, n_iter=n_iter)
+    else:
+        init = (T, chi2_0, jnp.float32(0.1), jnp.float32(2.0),
+                jnp.bool_(False), jnp.zeros((6, 6), jnp.float32))
+        T, chi2_f, _, _, _, A_last = jax.lax.fori_loop(0, n_iter, outer, init)
 
     # ---- outlier stripping + stats (pose_optimizer.cpp:696-770) ----
     _, _, r_edge_f, r_abs_f = residuals(T)
