@@ -365,20 +365,21 @@ def update_seeds(
     out["n_updates"] = seeds["n_updates"] + upd.astype(jnp.float32)
 
     # record the observation (unit-plane measurement + frame pose) in the
-    # per-seed ring for activation refinement
+    # per-seed ring for activation refinement.  One-hot masked writes, not
+    # ``.at[rows, slot]``: a per-seed ring-slot scatter lowers to a TPU
+    # scatter custom call per array per frame, while the dense select over
+    # the R=8-slot axis is a handful of fused VPU ops.
     slot = seeds["obs_count"] % N_OBS_RING
-    rows = jnp.arange(s_max)
+    hit = (slot[:, None] ==
+           jnp.arange(N_OBS_RING, dtype=slot.dtype)[None, :])   # (S, R)
+    w_hit = hit & upd[:, None]
     uv_meas = f_cur[:, :2] / jnp.maximum(f_cur[:, 2:3], 1e-9)
-    out["obs_uv"] = seeds["obs_uv"].at[rows, slot].set(
-        jnp.where(upd[:, None], uv_meas, seeds["obs_uv"][rows, slot])
-    )
-    T_cur_b = jnp.broadcast_to(jnp.asarray(T_cur_w, jnp.float32), (s_max, 3, 4))
-    out["obs_T"] = seeds["obs_T"].at[rows, slot].set(
-        jnp.where(upd[:, None, None], T_cur_b, seeds["obs_T"][rows, slot])
-    )
-    out["obs_valid"] = seeds["obs_valid"].at[rows, slot].set(
-        jnp.where(upd, True, seeds["obs_valid"][rows, slot])
-    )
+    out["obs_uv"] = jnp.where(
+        w_hit[..., None], uv_meas[:, None, :], seeds["obs_uv"])
+    T_cur_b = jnp.asarray(T_cur_w, jnp.float32)
+    out["obs_T"] = jnp.where(
+        w_hit[..., None, None], T_cur_b[None, None], seeds["obs_T"])
+    out["obs_valid"] = seeds["obs_valid"] | w_hit
     out["obs_count"] = seeds["obs_count"] + upd.astype(jnp.int32)
 
     return out, {

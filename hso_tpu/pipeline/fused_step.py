@@ -273,11 +273,20 @@ def make_frame_step(cam, grid: tuple, klt_max_level: int, klt_min_level: int,
         # per frame, the same lag the reference's async mapping thread has
         # (/root/reference/src/depth_filter.cpp:242-328). ----
         cp2f = jnp.where(sel["cell_valid2"], sel["cell_point2"], 0)
-        acc_new = (acc
-                   .at[0, cp1].add(s1.astype(jnp.int32))
-                   .at[0, cp2f].add((tried2 & use2).astype(jnp.int32))
-                   .at[1, cp1].add((sel["cell_valid"] & ~s1).astype(jnp.int32))
-                   .at[1, cp2f].add((tried2 & ~use2).astype(jnp.int32)))
+        # membership-reduction accumulation (4 scatter-adds per frame would
+        # each lower to a TPU scatter custom call; the dense (P, C) compare
+        # is a fused vector reduction)
+        p_ids = jnp.arange(acc.shape[1], dtype=cp1.dtype)
+        m1p = p_ids[:, None] == cp1[None, :]                  # (P, C)
+        m2p = p_ids[:, None] == cp2f[None, :]
+        succ_inc = (jnp.sum((m1p & s1[None, :]).astype(jnp.int32), axis=1)
+                    + jnp.sum((m2p & (tried2 & use2)[None, :]).astype(jnp.int32),
+                              axis=1))
+        fail_inc = (jnp.sum((m1p & (sel["cell_valid"] & ~s1)[None, :])
+                    .astype(jnp.int32), axis=1)
+                    + jnp.sum((m2p & (tried2 & ~use2)[None, :])
+                              .astype(jnp.int32), axis=1))
+        acc_new = acc + jnp.stack([succ_inc, fail_inc])
 
         packed = jnp.concatenate([
             T_new.reshape(-1).astype(jnp.float32),            # 0:12

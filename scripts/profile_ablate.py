@@ -136,7 +136,13 @@ def run_variant(patches):
             carry = (out["T_new"], d["pyr"], d["grad_mean"],
                      d["intensity_mean"], out["exposure"], out["obs_next"],
                      out["seeds"], out["acc"])
-            return carry, out["packed"][13] + out["packed"][15]
+            # checksum must consume state that EVERY variant still computes
+            # per-frame (stubs can make packed entries loop-constant, letting
+            # XLA fold the whole scan away)
+            chk = (jnp.sum(out["T_new"]) + jnp.sum(d["grad_mean"])
+                   + jnp.sum(out["seeds"]["mu"]) * 1e-9
+                   + out["packed"][13] + out["packed"][15])
+            return carry, chk
 
         @jax.jit
         def run(ims, seeds):
