@@ -30,6 +30,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from hso_tpu.ops.window_pallas import interpret_mode
+
 _SB = 128
 PATCH = 8
 BORD = 10
@@ -224,7 +226,7 @@ def align_match_tpu(is_edge, direction, ref_border, px_init, valid,
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
-        kernel, grid_spec=gs,
+        kernel, grid_spec=gs, interpret=interpret_mode(),
         out_shape=jax.ShapeDtypeStruct((8, s_pad), jnp.float32),
     )(wt, rt, par)
     return out[:, :s]

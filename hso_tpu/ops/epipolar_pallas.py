@@ -32,6 +32,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from hso_tpu.ops.window_pallas import interpret_mode
+
 _SB = 128           #: seeds per grid program (one lane tile)
 PATCH = 8
 
@@ -153,7 +155,7 @@ def zmncc_line_scores_tpu(windows, ref_patch, su0, sv0, dir_u, dir_v,
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
-        kernel, grid_spec=gs,
+        kernel, grid_spec=gs, interpret=interpret_mode(),
         out_shape=jax.ShapeDtypeStruct((8, s_pad), jnp.float32),
     )(wt, rt, par)
     neg_inf = jnp.float32(-jnp.inf)

@@ -51,7 +51,27 @@ def _pad_img(img, rows: int):
     return jnp.pad(img, ((0, hp - h), (0, wp - w)))
 
 
+#: Testing hook (tests/test_pallas_parity.py): when True, every Pallas call
+#: site in the package runs its kernel under the Pallas interpreter on the
+#: current backend, and :func:`on_tpu` reports True so production branches
+#: take the kernel path on CPU.  Toggling requires ``jax.clear_caches()`` —
+#: the flag is read at trace time.
+_FORCE_INTERPRET = False
+
+
+def force_interpret(enable: bool) -> None:
+    global _FORCE_INTERPRET
+    _FORCE_INTERPRET = bool(enable)
+
+
+def interpret_mode() -> bool:
+    """Value for ``pallas_call(interpret=...)`` — read at trace time."""
+    return _FORCE_INTERPRET
+
+
 def on_tpu() -> bool:
+    if _FORCE_INTERPRET:
+        return True
     try:
         return jax.default_backend() == "tpu"
     except Exception:  # pragma: no cover - no backend at all
@@ -97,7 +117,7 @@ def extract_windows_tpu(img, au, av, win: int):
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
-        kernel, grid_spec=gs,
+        kernel, grid_spec=gs, interpret=interpret_mode(),
         out_shape=jax.ShapeDtypeStruct((n_pad, win, win), jnp.float32),
     )(au_p, av_p, imgp)
     return out[:n]
@@ -151,7 +171,7 @@ def pack_level_windows_tpu(pyr, level, au, av, win: int, n_levels: int):
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
-        kernel, grid_spec=gs,
+        kernel, grid_spec=gs, interpret=interpret_mode(),
         out_shape=jax.ShapeDtypeStruct((n_pad, win, win), jnp.float32),
     )(lv_p, au_p, av_p, *imgs)
     return out[:n]

@@ -27,6 +27,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from hso_tpu.ops.window_pallas import interpret_mode
+
 WIN = 24
 _LB = 128
 
@@ -296,7 +298,7 @@ def coarse_level_ic_tpu(w_cur, ref_patch, j_ic, xyz_ref, au_c, av_c, vis,
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
-        kernel, grid_spec=gs,
+        kernel, grid_spec=gs, interpret=interpret_mode(),
         out_shape=jax.ShapeDtypeStruct((16, _LB), jnp.float32),
     )(wt, rt, jt, par, sc, T0f)
     col = out[:, 0]

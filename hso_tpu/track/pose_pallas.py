@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from hso_tpu.ops.window_pallas import interpret_mode
 from hso_tpu.track.coarse_pallas import _se3_exp
 
 _LB = 128
@@ -230,7 +231,7 @@ def pose_lm_tpu(T0, p_world, obs_uv, grad, sqrt_inv_cov, is_edgelet,
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
-        kernel, grid_spec=gs,
+        kernel, grid_spec=gs, interpret=interpret_mode(),
         out_shape=jax.ShapeDtypeStruct((64, _LB), jnp.float32),
     )(par, sc, T0f)
     col = out[:, 0]
