@@ -43,6 +43,8 @@ class Config:
     quality_min_fts: int = 5
     quality_max_drop_fts: int = 40
     edgelet_angle: float = 0.86     #: cos(angle) gate for edgelet normal agreement
+    use_gradient_features: bool = True  #: third species: per-cell max-|∇I| fill
+                                    #: (gradDetectST, feature_detection.cpp:609-664)
 
     # ---- coarse tracker (reference: frame_handler_mono.cpp:190-209) ----
     coarse_n_iter: int = 30         #: LM iterations per level (ref uses <=50 w/ early stop)

@@ -48,6 +48,115 @@ def _essential_from_8pt(uv1: np.ndarray, uv2: np.ndarray) -> np.ndarray:
     return E
 
 
+# ---------------------------------------------------------------- 5-point
+# Nistér/Stewénius five-point minimal solver (the reference bootstraps with
+# OpenCV's findEssentialMat 5-pt RANSAC, initialization.cpp:301-378).  The
+# ten cubic constraints det(E)=0 and 2·E·EᵀE − tr(E·Eᵀ)·E = 0 are expanded
+# numerically with a tiny exponent-dict polynomial arithmetic (no hand-
+# derived symbolic tables to get wrong), reduced against the 10 degree-3
+# monomials, and solved via the 10×10 action-matrix eigendecomposition
+# (Stewénius et al., "Recent developments on direct relative orientation").
+
+_D3 = [(3, 0, 0), (2, 1, 0), (2, 0, 1), (1, 2, 0), (1, 1, 1),
+       (1, 0, 2), (0, 3, 0), (0, 2, 1), (0, 1, 2), (0, 0, 3)]
+_B10 = [(2, 0, 0), (1, 1, 0), (1, 0, 1), (0, 2, 0), (0, 1, 1),
+        (0, 0, 2), (1, 0, 0), (0, 1, 0), (0, 0, 1), (0, 0, 0)]
+_MONO20 = {m: i for i, m in enumerate(_D3 + _B10)}
+
+
+def _pmul(a: dict, b: dict) -> dict:
+    out = {}
+    for ea, ca in a.items():
+        for eb, cb in b.items():
+            e = (ea[0] + eb[0], ea[1] + eb[1], ea[2] + eb[2])
+            out[e] = out.get(e, 0.0) + ca * cb
+    return out
+
+
+def _padd(*polys) -> dict:
+    out = {}
+    for p in polys:
+        for e, c in p.items():
+            out[e] = out.get(e, 0.0) + c
+    return out
+
+
+def _pscale(a: dict, s: float) -> dict:
+    return {e: c * s for e, c in a.items()}
+
+
+def _essential_candidates_5pt(uv1: np.ndarray, uv2: np.ndarray):
+    """Up to 10 essential matrices from 5 unit-plane correspondences."""
+    x1 = np.concatenate([uv1, np.ones((len(uv1), 1))], axis=-1)
+    x2 = np.concatenate([uv2, np.ones((len(uv2), 1))], axis=-1)
+    # q2ᵀ E q1 = 0, E row-major: coefficient of E[i,j] is x2[i]·x1[j]
+    Q = np.einsum("ni,nj->nij", x2, x1).reshape(len(uv1), 9)
+    _, _, Vt = np.linalg.svd(Q)
+    Eb = Vt[-4:][::-1].reshape(4, 3, 3)          # E1..E3 (x,y,z) + E4 (1)
+
+    def entry(i, j):
+        return {(1, 0, 0): Eb[0, i, j], (0, 1, 0): Eb[1, i, j],
+                (0, 0, 1): Eb[2, i, j], (0, 0, 0): Eb[3, i, j]}
+
+    E = [[entry(i, j) for j in range(3)] for i in range(3)]
+    # det(E) = 0
+    det = _padd(
+        _pmul(E[0][0], _padd(_pmul(E[1][1], E[2][2]),
+                             _pscale(_pmul(E[1][2], E[2][1]), -1.0))),
+        _pmul(E[0][1], _padd(_pmul(E[1][2], E[2][0]),
+                             _pscale(_pmul(E[1][0], E[2][2]), -1.0))),
+        _pmul(E[0][2], _padd(_pmul(E[1][0], E[2][1]),
+                             _pscale(_pmul(E[1][1], E[2][0]), -1.0))),
+    )
+    # EEᵀE − ½·tr(EEᵀ)·E = 0 (9 cubics)
+    EEt = [[_padd(*[_pmul(E[i][k], E[j][k]) for k in range(3)])
+            for j in range(3)] for i in range(3)]
+    tr = _padd(EEt[0][0], EEt[1][1], EEt[2][2])
+    polys = [det]
+    for i in range(3):
+        for j in range(3):
+            lhs = _padd(*[_pmul(EEt[i][k], E[k][j]) for k in range(3)])
+            polys.append(_padd(lhs, _pscale(_pmul(tr, E[i][j]), -0.5)))
+
+    M = np.zeros((10, 20))
+    for r, p in enumerate(polys):
+        for e, c in p.items():
+            M[r, _MONO20[e]] = c
+    try:
+        B = np.linalg.solve(M[:, :10], M[:, 10:])   # d3 = -B · b10
+    except np.linalg.LinAlgError:
+        return []
+    A = np.zeros((10, 10))
+    A[0] = -B[0]          # x·x²  = x³
+    A[1] = -B[1]          # x·xy  = x²y
+    A[2] = -B[2]          # x·xz  = x²z
+    A[3] = -B[3]          # x·y²  = xy²
+    A[4] = -B[4]          # x·yz  = xyz
+    A[5] = -B[5]          # x·z²  = xz²
+    A[6, 0] = 1.0         # x·x   = x²
+    A[7, 1] = 1.0         # x·y   = xy
+    A[8, 2] = 1.0         # x·z   = xz
+    A[9, 6] = 1.0         # x·1   = x
+    try:
+        _, vecs = np.linalg.eig(A)
+    except np.linalg.LinAlgError:
+        return []
+    out = []
+    for k in range(10):
+        v = vecs[:, k]
+        if abs(v[9]) < 1e-12:
+            continue
+        v = v / v[9]
+        if np.max(np.abs(v.imag)) > 1e-6:
+            continue
+        x, y, z = v[6].real, v[7].real, v[8].real
+        Ek = x * Eb[0] + y * Eb[1] + z * Eb[2] + Eb[3]
+        n = np.linalg.norm(Ek)
+        if n > 1e-12:
+            out.append(Ek / n)
+    return out
+
+
 def _sampson(E, uv1, uv2):
     x1 = np.concatenate([uv1, np.ones((len(uv1), 1))], axis=-1)
     x2 = np.concatenate([uv2, np.ones((len(uv2), 1))], axis=-1)

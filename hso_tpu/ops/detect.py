@@ -185,7 +185,8 @@ CORNER, EDGELET, GRADIENT = 0, 1, 2
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_levels", "cell0", "n_out", "border")
+    jax.jit, static_argnames=("n_levels", "cell0", "n_out", "border",
+                              "with_gradient")
 )
 def detect_features(
     pyr,
@@ -197,6 +198,7 @@ def detect_features(
     cell0: int = 32,
     n_out: int = 384,
     border: int = 8,
+    with_gradient: bool = True,
 ):
     """Hybrid detection over the pyramid → top-``n_out`` features.
 
@@ -271,6 +273,44 @@ def detect_features(
         )
 
     best_score = jnp.where(occupied, 0.0, best_score)
+
+    # pass 3: gradient species (``gradDetectST``,
+    # /root/reference/src/feature_detection.cpp:609-664): a cell that neither
+    # a corner nor an edgelet claimed takes its max-|∇I| pixel when it clears
+    # 20·minThresh — the third species that carries tracking in corner-poor,
+    # edge-poor texture (smooth shading).  The reference's shipped detect()
+    # has the call commented out (feature_detection.cpp:435-436) but all its
+    # downstream plumbing (kGrad species → Feature::GRADIENT with a gradient
+    # normal, feature_detection.cpp:465-473) is live; ours ships it behind
+    # ``with_gradient`` (Config.use_gradient_features).  Unlike edgelets, no
+    # along-gradient NMS is required — smooth shading has no ridge to thin.
+    if with_gradient:
+        gscore = jnp.zeros((cy, cx), jnp.float32)
+        gmeta = [jnp.zeros((cy, cx), jnp.float32) for _ in range(6)]
+        for lvl in range(n_levels):
+            cell = max(cell0 >> lvl, 4)
+            mag = jnp.sqrt(sobel_x[lvl] ** 2 + sobel_y[lvl] ** 2)
+            hl, wl = pyr[lvl].shape
+            yy = jnp.arange(hl)[:, None]
+            xx = jnp.arange(wl)[None, :]
+            inb = (xx >= border) & (xx <= wl - border) & (yy >= border) & (yy <= hl - border)
+            gmag = jnp.where(inb & (mag > 20.0 * grad_mean), mag, 0.0)
+            gbest, gy_l, gx_l = _cell_argmax(gmag, cell)
+            gbest = _fit(gbest, cy, cx)
+            gy_l, gx_l = _fit(gy_l, cy, cx), _fit(gx_l, cy, cx)
+            gxg = _gather_cells(sobel_x[lvl], gy_l, gx_l)
+            gyg = _gather_cells(sobel_y[lvl], gy_l, gx_l)
+            scale = float(1 << lvl)
+            upd = gbest > gscore
+            gscore = jnp.where(upd, gbest, gscore)
+            vals = [gx_l.astype(jnp.float32) * scale,
+                    gy_l.astype(jnp.float32) * scale,
+                    jnp.full_like(gbest, float(lvl)),
+                    jnp.full_like(gbest, float(GRADIENT)), gxg, gyg]
+            gmeta = [jnp.where(upd, v, m) for v, m in zip(vals, gmeta)]
+        fill = (best_score <= 0.0) & ~occupied & (gscore > 0.0)
+        best_score = jnp.where(fill, gscore, best_score)
+        best_meta = [jnp.where(fill, g, m) for g, m in zip(gmeta, best_meta)]
 
     # Spatial-uniformity tiers (the quadtree-distribution analogue,
     # computeKeyPointsOctTree feature_detection.cpp:833-1124): a cell that

@@ -222,6 +222,7 @@ class FrameHandler:
         return detect_features(
             d["pyr"][:3], d["sobel_x"], d["sobel_y"], d["grad_mean"], occ,
             n_levels=n_levels, cell0=cell0, n_out=self.cfg.n_fts_max,
+            with_gradient=bool(self.cfg.use_gradient_features),
         )
 
     # ------------------------------------------------------------------ stages

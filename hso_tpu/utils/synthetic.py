@@ -16,15 +16,20 @@ from hso_tpu.math import se3np
 
 class PlaneScene:
     def __init__(self, cam, z0: float = 2.0, extent: float = 2.0,
-                 tex_size: int = 2048, seed: int = 0, blur: float = 2.0):
+                 tex_size: int = 2048, seed: int = 0, blur: float = 2.0,
+                 tex=None):
         self.cam = cam
         self.z0 = float(z0)
         self.extent = float(extent)  # plane spans [-extent, extent] in x and y
-        rng = np.random.default_rng(seed)
-        tex = rng.integers(0, 256, size=(tex_size, tex_size)).astype(np.float32)
-        tex = cv2.GaussianBlur(tex, (0, 0), blur)
-        # renormalize to a healthy contrast range
-        tex = (tex - tex.min()) / (tex.max() - tex.min()) * 220.0 + 15.0
+        if tex is None:
+            rng = np.random.default_rng(seed)
+            tex = rng.integers(0, 256, size=(tex_size, tex_size)).astype(np.float32)
+            tex = cv2.GaussianBlur(tex, (0, 0), blur)
+            # renormalize to a healthy contrast range
+            tex = (tex - tex.min()) / (tex.max() - tex.min()) * 220.0 + 15.0
+        else:
+            tex = np.asarray(tex, np.float32)
+            tex_size = tex.shape[0]
         self.tex = tex
         self.tex_size = tex_size
 

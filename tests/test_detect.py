@@ -162,3 +162,102 @@ def test_edgelets_on_texture():
     # normals should be along ±(1,1)/sqrt2
     dots = np.abs(edg @ (np.ones(2) / np.sqrt(2)))
     assert np.median(dots) > 0.95
+
+
+def _low_texture_scene():
+    """Smooth sinusoidal shading: no FAST corner anywhere, Sobel magnitude
+    below the edgelet Canny-high threshold (70·minThresh) at every level,
+    but above the gradient-species floor (20·minThresh) — only gradDetectST
+    semantics (feature_detection.cpp:609-664) can populate this scene."""
+    from hso_tpu.cameras import PinholeCamera
+    from hso_tpu.utils.synthetic import PlaneScene
+
+    ts = 1024
+    yy, xx = np.mgrid[0:ts, 0:ts]
+    tex = 127 + 8.0 * np.sin(2 * np.pi * xx / 300) * np.sin(2 * np.pi * yy / 300)
+    cam = PinholeCamera(320, 240, 200.0, 200.0, 160.0, 120.0)
+    return PlaneScene(cam, z0=2.0, extent=2.0, tex=tex)
+
+
+def test_gradient_species_low_texture():
+    from hso_tpu.ops.detect import GRADIENT
+
+    scene = _low_texture_scene()
+    out = build_frame_pyramids(jnp.asarray(scene.render()))
+    cy, cx = -(-240 // 32), -(-320 // 32)
+    occ = jnp.zeros((cy, cx), bool)
+    args = (out["pyr"][:3], out["sobel_x"], out["sobel_y"], out["grad_mean"], occ)
+
+    det_off = detect_features(*args, n_out=256, with_gradient=False)
+    assert int(np.asarray(det_off["valid"]).sum()) == 0
+
+    det_on = detect_features(*args, n_out=256, with_gradient=True)
+    valid = np.asarray(det_on["valid"])
+    species = np.asarray(det_on["species"])[valid]
+    assert valid.sum() > 30
+    assert (species == GRADIENT).all()
+    # gradient normals are unit and meaningful (the shading is smooth)
+    grad = np.asarray(det_on["grad"])[valid]
+    np.testing.assert_allclose(np.linalg.norm(grad, axis=-1), 1.0, atol=1e-3)
+
+
+def test_gradient_species_never_displaces_other_species():
+    """On textured input the gradient pass only fills otherwise-empty cells:
+    the corner/edgelet feature set must be identical with it on or off."""
+    img = corner_test_image()
+    out = build_frame_pyramids(jnp.asarray(img.astype(np.uint8)))
+    cy, cx = -(-240 // 32), -(-320 // 32)
+    occ = jnp.zeros((cy, cx), bool)
+    args = (out["pyr"][:3], out["sobel_x"], out["sobel_y"], out["grad_mean"], occ)
+    det_on = detect_features(*args, n_out=256, with_gradient=True)
+    det_off = detect_features(*args, n_out=256, with_gradient=False)
+    from hso_tpu.ops.detect import GRADIENT
+
+    sp_on = np.asarray(det_on["species"])
+    keep = np.asarray(det_on["valid"]) & (sp_on != GRADIENT)
+    px_on = {tuple(p) for p in np.asarray(det_on["px"])[keep].tolist()}
+    v_off = np.asarray(det_off["valid"])
+    px_off = {tuple(p) for p in np.asarray(det_off["px"])[v_off].tolist()}
+    assert px_off == px_on
+
+
+def test_gradient_species_carries_tracking():
+    """The VERDICT-r4 scenario: a texture-poor scene is trackable only when
+    gradient features are on (without them detection returns zero features,
+    so there is nothing to track at all)."""
+    from hso_tpu.math import se3np
+    from hso_tpu.track.coarse_tracker import make_coarse_tracker
+
+    scene = _low_texture_scene()
+    img_ref = scene.render()
+    T_gt = se3np.exp(np.array([0.02, -0.015, 0.01, 0.004, -0.006, 0.003]))
+    img_cur = scene.render(T_gt)
+
+    ref = build_frame_pyramids(jnp.asarray(img_ref), n_pyr_levels=3,
+                               n_total_levels=5)
+    cur = build_frame_pyramids(jnp.asarray(img_cur), n_pyr_levels=3,
+                               n_total_levels=5)
+    cy, cx = -(-240 // 32), -(-320 // 32)
+    det = detect_features(
+        ref["pyr"][:3], ref["sobel_x"], ref["sobel_y"], ref["grad_mean"],
+        jnp.zeros((cy, cx), bool), n_out=256, with_gradient=True)
+    valid = np.asarray(det["valid"])
+    px = np.asarray(det["px"], np.float64)
+
+    n_max = 256
+    px_p = np.zeros((n_max, 2), np.float32)
+    f_p = np.zeros((n_max, 3), np.float32)
+    f_p[:, 2] = 1.0
+    d_p = np.full((n_max,), -1.0, np.float32)
+    n = int(valid.sum())
+    px_p[:n] = px[valid]
+    f_p[:n] = scene.cam.cam2world(px[valid])
+    d_p[:n] = scene.depth_along_ray(px[valid])
+
+    track = make_coarse_tracker(scene.cam, inverse=False)
+    out = track(ref["pyr"], cur["pyr"], px_p, f_p, d_p,
+                se3np.identity().astype(np.float32), 1.0)
+    assert int(out["n_tracked"]) > 30
+    err = se3np.log(se3np.mul(np.asarray(out["T_cur_ref"], np.float64),
+                              se3np.inv(T_gt)))
+    assert np.linalg.norm(err) < 5e-3, err
