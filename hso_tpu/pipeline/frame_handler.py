@@ -164,6 +164,12 @@ class FrameHandler:
         "pyramid_creation", "fused_frame_step", "sparse_img_align",
         "reproject", "pose_optimizer", "local_ba", "seed_update",
         "feature_detection", "tot_time",
+        # host-loop attribution (scripts/profile_host_loop.py): where each
+        # steady-state frame's wall time goes — host prep, async dispatch,
+        # the one packed sync, sparse-frame writebacks, keyframe events,
+        # trailing host bookkeeping
+        "host_prep", "fused_dispatch", "sync_packed", "writeback",
+        "seed_rescue", "kf_event", "host_tail",
     )
     TRACE_LOGS = (
         "frame_id", "n_matches", "n_inliers", "n_seeds_updated", "n_kfs",
@@ -411,34 +417,37 @@ class FrameHandler:
         if img is None:
             img = frame.data["pyr"][0]      # reloc path: pre-built frame
 
-        step = self._fused_step()
-        snap = self._snapshot()
-        prev_obs = self._prev_obs_dev(last)
-        T_prev = getattr(last, "T_dev", None)
-        if T_prev is None:
-            T_prev = jnp.asarray(last.T_f_w, jnp.float32)
-        prev_gm = getattr(last, "grad_mean_dev", None)
-        if prev_gm is None:
-            prev_gm = jnp.float32(last.grad_mean)
-        prev_it = getattr(last, "intensity_dev", None)
-        if prev_it is None:
-            prev_it = jnp.float32(last.intensity_mean)
-        exp_prev = getattr(last, "exp_dev", None)
-        if exp_prev is None:
-            exp_prev = jnp.float32(last.exposure)
-        if self._px_err_dev is None:
-            self._px_err_dev = jnp.float32(self.px_error_angle)
-        if self._acc is None:
-            self._acc = jnp.zeros((2, self.points.p_max), jnp.int32)
+        with self._t("host_prep"):
+            step = self._fused_step()
+            snap = self._snapshot()
+            prev_obs = self._prev_obs_dev(last)
+            T_prev = getattr(last, "T_dev", None)
+            if T_prev is None:
+                T_prev = jnp.asarray(last.T_f_w, jnp.float32)
+            prev_gm = getattr(last, "grad_mean_dev", None)
+            if prev_gm is None:
+                prev_gm = jnp.float32(last.grad_mean)
+            prev_it = getattr(last, "intensity_dev", None)
+            if prev_it is None:
+                prev_it = jnp.float32(last.intensity_mean)
+            exp_prev = getattr(last, "exp_dev", None)
+            if exp_prev is None:
+                exp_prev = jnp.float32(last.exposure)
+            if self._px_err_dev is None:
+                self._px_err_dev = jnp.float32(self.px_error_angle)
+            if self._acc is None:
+                self._acc = jnp.zeros((2, self.points.p_max), jnp.int32)
 
         with self._t("fused_frame_step"):
-            out = step(
-                jnp.asarray(img), last.data["pyr"], prev_gm, T_prev, prev_obs,
-                prev_it, exp_prev,
-                jnp.asarray(self.motion_model, jnp.float32), snap, self.seeds,
-                self._px_err_dev, self._acc,
-            )
-            packed = np.asarray(out["packed"], np.float64)  # the ONE sync
+            with self._t("fused_dispatch"):
+                out = step(
+                    jnp.asarray(img), last.data["pyr"], prev_gm, T_prev,
+                    prev_obs, prev_it, exp_prev,
+                    jnp.asarray(self.motion_model, jnp.float32), snap,
+                    self.seeds, self._px_err_dev, self._acc,
+                )
+            with self._t("sync_packed"):
+                packed = np.asarray(out["packed"], np.float64)  # the ONE sync
 
         self._acc = out["acc"]
         frame.data = out["data"]
@@ -458,7 +467,8 @@ class FrameHandler:
 
         synced = False
         if n_matches < 100 or self.photo is not None:
-            self._writeback_obs(frame, out)
+            with self._t("writeback"):
+                self._writeback_obs(frame, out)
             synced = True
 
         if n_matches < 100:
@@ -469,12 +479,13 @@ class FrameHandler:
             # only; the in-step seed sweep used the pre-refinement pose).
             # The seed rescue runs BEFORE the quality gate — it exists
             # precisely to rescue feature-starved frames.
-            n_temp = self._reproject_seeds(frame, n_matches)
-            if n_temp:
-                n_matches += n_temp
-                n_inliers, err_px = self._pose_refine_host(frame)
-                frame.T_dev = None
-                frame.obs_dev = None
+            with self._t("seed_rescue"):
+                n_temp = self._reproject_seeds(frame, n_matches)
+                if n_temp:
+                    n_matches += n_temp
+                    n_inliers, err_px = self._pose_refine_host(frame)
+                    frame.T_dev = None
+                    frame.obs_dev = None
 
         if n_matches < cfg.quality_min_fts or n_inliers < cfg.quality_min_fts:
             frame.T_f_w = last.T_f_w.copy()
@@ -503,30 +514,31 @@ class FrameHandler:
         if is_kf:
             result = RESULT_KEYFRAME
             self.regular_counter = 0
-            self._kf_sync(frame, out, already_synced=synced)
-            kf_idx = self.kfs.add(frame)
-            # CANDIDATE points observed here become UNKNOWN (addCandidatePointToFrame)
-            o = frame.obs
-            seen = o["point_id"][o["valid"]]
-            cand = seen[self.points.type[seen] == TYPE_CANDIDATE]
-            self.points.type[cand] = TYPE_UNKNOWN
-            # observed points re-memoize their appearance from this view
-            # (getCloseViewObs analogue: recency ≈ closest viewing angle)
-            self._refresh_patch_sources(frame)
-            self.points.register_obs(frame)
-            # release points that left the field of view (bounded slot usage
-            # on long sequences; see PointTable.gc_stale)
-            self.points.gc_stale(kf_idx)
-            with self._t("local_ba"):
-                self._run_ba(frame)
-            # sparse frames get a laxer convergence bar (ref: 100 vs 200)
-            base_th = cfg.seed_converge_sigma2_thresh
-            thresh = base_th / 2.0 if n_inliers <= 70 else base_th
-            with self._t("feature_detection"):
-                self._harvest_seeds()
-                self._add_keyframe_seeds(frame, distance_mean,
-                                         0.5 * max(depth_min, 1e-3), thresh)
-            self._bump_map_version()
+            with self._t("kf_event"):
+                self._kf_sync(frame, out, already_synced=synced)
+                kf_idx = self.kfs.add(frame)
+                # CANDIDATE points observed here become UNKNOWN (addCandidatePointToFrame)
+                o = frame.obs
+                seen = o["point_id"][o["valid"]]
+                cand = seen[self.points.type[seen] == TYPE_CANDIDATE]
+                self.points.type[cand] = TYPE_UNKNOWN
+                # observed points re-memoize their appearance from this view
+                # (getCloseViewObs analogue: recency ≈ closest viewing angle)
+                self._refresh_patch_sources(frame)
+                self.points.register_obs(frame)
+                # release points that left the field of view (bounded slot
+                # usage on long sequences; see PointTable.gc_stale)
+                self.points.gc_stale(kf_idx)
+                with self._t("local_ba"):
+                    self._run_ba(frame)
+                # sparse frames get a laxer convergence bar (ref: 100 vs 200)
+                base_th = cfg.seed_converge_sigma2_thresh
+                thresh = base_th / 2.0 if n_inliers <= 70 else base_th
+                with self._t("feature_detection"):
+                    self._harvest_seeds()
+                    self._add_keyframe_seeds(frame, distance_mean,
+                                             0.5 * max(depth_min, 1e-3), thresh)
+                self._bump_map_version()
         else:
             self.regular_counter += 1
 
