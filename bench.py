@@ -250,7 +250,8 @@ def main() -> None:
         _phase(f"host loop warm ({k} frames, {nkf} keyframes)")
         t0 = time.perf_counter()
         for j in range(k, k + N_HOST):
-            vo.add_image(frames[j], ts=float(start + j))
+            vo.add_image_pipelined(frames[j], ts=float(start + j))
+        vo.flush()
         host_fps = N_HOST / (time.perf_counter() - t0)
         k += N_HOST
     assert vo.stage == "default", f"host loop lost tracking: {vo.stage}"

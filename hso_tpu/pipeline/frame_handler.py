@@ -149,6 +149,15 @@ class FrameHandler:
         # re-uploading the full ~9 MB patch_win table every keyframe.  Every
         # writer of PointTable.patch_*/species MUST _mark_dirty its rows.
         self._dirty_rows: set[int] = set()
+        # pipelined host loop (add_image_pipelined): the not-yet-finalized
+        # frame, the latest dispatched seed branch, the device pose of the
+        # frame before the pending one (for the on-device motion prior), the
+        # pose of the most recently finalized frame, and the result queue
+        self._pending = None
+        self._seeds_spec = None
+        self._motion_T_prev = None
+        self._last_T_host = None
+        self._due: collections.deque = collections.deque()
         # per-stage tracing (the reference's HSO_TRACE PerformanceMonitor,
         # frame_handler_base.cpp:54-81); enable via enable_tracing() or the
         # HSO_TRACE env var
@@ -275,6 +284,107 @@ class FrameHandler:
             m.log("is_keyframe", res.status == RESULT_KEYFRAME)
             m.log("err_px", res.err_px)
             m.update_finished()
+        return res
+
+    # ---------------------------------------------------------- pipelined
+    def add_image_pipelined(self, img_u8: np.ndarray,
+                            ts: float = 0.0) -> FrameResult | None:
+        """Lag-1 pipelined ``add_image``: dispatch THIS frame's fused step
+        immediately, then finalize the PREVIOUS frame's result while this
+        one computes — per-frame wall time becomes ~(sync latency)/2 instead
+        of dispatch + full round trip (the axon dev tunnel costs ~24 ms per
+        sync; see artifacts/host_breakdown.json).
+
+        Semantics vs the synchronous loop: keyframe map/seed updates land
+        one frame later (the next frame was already dispatched against the
+        pre-keyframe snapshot — exactly the lag the reference's asynchronous
+        mapping thread exhibits, depth_filter.cpp:242-328), and the motion
+        prior is the last FINALIZED relative motion (one frame stale).
+        Tracking failures discard the one speculative dispatch and reprocess
+        the frame through the synchronous relocalization path.
+
+        Returns the previous frame's result (None while the pipeline fills);
+        call :meth:`flush` after the last frame.  Requires
+        ``photometric_calib=False`` (its per-frame sampling is synchronous).
+        """
+        assert self.photo is None, \
+            "add_image_pipelined requires photometric_calib=False"
+        if self.stage != STAGE_DEFAULT:
+            if self._pending is not None:
+                pf, pout, _pimg, pts_ = self._pending
+                self._pending = None
+                self._due.append(self._finalize_pipelined(pf, pout, pts_))
+                self._seeds_spec = None
+                self._motion_T_prev = None
+            self._due.append(self.add_image(img_u8, ts))
+            return self._due.popleft() if self._due else None
+
+        if self.monitor is not None:
+            self.monitor.new_frame()
+        t_start = time.perf_counter()
+        if self._last_T_host is None:
+            self._last_T_host = self.last_frame.T_f_w.copy()
+        frame = Frame(
+            frame_id=self.frame_count, timestamp=ts,
+            T_f_w=se3np.identity(), data=None,
+            obs=empty_obs(self._n_obs_pad),
+        )
+        seeds_in = self._seeds_spec if self._seeds_spec is not None else self.seeds
+        # motion prior: the last FINALIZED relative motion (one frame stale —
+        # smooth motion makes it an excellent prior; composing raw device
+        # poses instead couples tracking noise frame-to-frame and was
+        # measured to feed back geometrically)
+        I_rel = jnp.asarray(self.motion_model, jnp.float32)
+        acc_before = self._acc
+        out = self._dispatch_default(frame, img_u8, seeds_in, I_rel)
+        # start the device→host copy NOW — jax only transfers on demand, so
+        # without this the round-trip latency lands inside next call's
+        # finalize instead of overlapping this frame's compute
+        try:
+            out["packed"].copy_to_host_async()
+        except AttributeError:  # pragma: no cover - non-jax array backend
+            pass
+
+        if self._pending is not None:
+            pf, pout, pimg, pts_ = self._pending
+            self._pending = None
+            res_prev = self._finalize_pipelined(pf, pout, pts_)
+            self._due.append(res_prev)
+            if self.stage != STAGE_DEFAULT:
+                # the speculative dispatch chained off a failed frame —
+                # discard it and reprocess this image synchronously (reloc)
+                self._acc = acc_before
+                self._seeds_spec = None
+                self._motion_T_prev = None
+                self._due.append(self.add_image(img_u8, ts))
+                return self._due.popleft()
+
+        self._pending = (frame, out, img_u8, ts)
+        self._seeds_spec = out["seeds"]
+        self.last_frame = frame
+        self.frame_count += 1
+        if self.monitor is not None:
+            self.monitor.set_timer("tot_time", time.perf_counter() - t_start)
+            self.monitor.update_finished()
+        return self._due.popleft() if self._due else None
+
+    def flush(self) -> list[FrameResult]:
+        """Drain the pipelined loop: finalize the pending frame (if any) and
+        return it together with any queued results, oldest first."""
+        if self._pending is not None:
+            pf, pout, _pimg, pts_ = self._pending
+            self._pending = None
+            self._due.append(self._finalize_pipelined(pf, pout, pts_))
+            self._seeds_spec = None
+            self._motion_T_prev = None
+        out = list(self._due)
+        self._due.clear()
+        return out
+
+    def _finalize_pipelined(self, frame: Frame, out, ts: float) -> FrameResult:
+        res = self._finalize_default(frame, out, self._last_T_host,
+                                     pipelined=True)
+        self.trajectory.append((ts, frame.T_f_w.copy()))
         return res
 
     def _process_first(self, frame: Frame) -> FrameResult:
@@ -409,10 +519,19 @@ class FrameHandler:
         ``packed`` scalar vector) plus the async image upload: per-slot match
         results are fetched lazily at keyframe/sparse events
         (``_writeback_obs``) and point success/fail counters accumulate on
-        device until a keyframe drains them (``_apply_lifecycle``)."""
-        import jax
+        device until a keyframe drains them (``_apply_lifecycle``).
 
-        cfg = self.cfg
+        Split into :meth:`_dispatch_default` (device dispatch, no sync) and
+        :meth:`_finalize_default` (packed fetch + host bookkeeping) so the
+        pipelined host loop (:meth:`add_image_pipelined`) can overlap frame
+        k+1's dispatch with frame k's result latency."""
+        out = self._dispatch_default(
+            frame, img, self.seeds, jnp.asarray(self.motion_model, jnp.float32))
+        return self._finalize_default(frame, out, self.last_frame.T_f_w)
+
+    def _dispatch_default(self, frame: Frame, img, seeds_in, I_rel):
+        """Dispatch the fused per-frame step (async — nothing on the host
+        blocks) and attach the device-side handles to ``frame``."""
         last = self.last_frame
         if img is None:
             img = frame.data["pyr"][0]      # reloc path: pre-built frame
@@ -438,16 +557,12 @@ class FrameHandler:
             if self._acc is None:
                 self._acc = jnp.zeros((2, self.points.p_max), jnp.int32)
 
-        with self._t("fused_frame_step"):
-            with self._t("fused_dispatch"):
-                out = step(
-                    jnp.asarray(img), last.data["pyr"], prev_gm, T_prev,
-                    prev_obs, prev_it, exp_prev,
-                    jnp.asarray(self.motion_model, jnp.float32), snap,
-                    self.seeds, self._px_err_dev, self._acc,
-                )
-            with self._t("sync_packed"):
-                packed = np.asarray(out["packed"], np.float64)  # the ONE sync
+        with self._t("fused_dispatch"):
+            out = step(
+                jnp.asarray(img), last.data["pyr"], prev_gm, T_prev,
+                prev_obs, prev_it, exp_prev, I_rel, snap,
+                seeds_in, self._px_err_dev, self._acc,
+            )
 
         self._acc = out["acc"]
         frame.data = out["data"]
@@ -456,6 +571,17 @@ class FrameHandler:
         frame.T_dev = out["T_new"]
         frame.obs_dev = out["obs_next"]
         frame.exp_dev = out["exposure"]
+        return out
+
+    def _finalize_default(self, frame: Frame, out, prev_T_host,
+                          pipelined: bool = False) -> FrameResult:
+        """Consume the fused step's results: the one packed sync, quality
+        gates, sparse-frame rescues, the keyframe event, and the trailing
+        host bookkeeping."""
+        cfg = self.cfg
+        with self._t("sync_packed"):
+            packed = np.asarray(out["packed"], np.float64)  # the ONE sync
+
         frame.T_f_w = se3np.normalize(packed[:12].reshape(3, 4))
         frame.exposure = float(packed[12])
         frame.grad_mean = float(packed[22])
@@ -488,7 +614,8 @@ class FrameHandler:
                     frame.obs_dev = None
 
         if n_matches < cfg.quality_min_fts or n_inliers < cfg.quality_min_fts:
-            frame.T_f_w = last.T_f_w.copy()
+            frame.T_f_w = np.asarray(prev_T_host).copy()
+            self._last_T_host = frame.T_f_w
             self.stage = STAGE_RELOC
             return FrameResult(RESULT_FAILURE, frame.T_f_w, n_matches, n_inliers)
         self.tracking_bad = (
@@ -515,6 +642,20 @@ class FrameHandler:
             result = RESULT_KEYFRAME
             self.regular_counter = 0
             with self._t("kf_event"):
+                # sparse frames get a laxer convergence bar (ref: 100 vs 200)
+                base_th = cfg.seed_converge_sigma2_thresh
+                thresh = base_th / 2.0 if n_inliers <= 70 else base_th
+                if pipelined and self._seeds_spec is not None:
+                    # a newer frame's sweep output is already in flight —
+                    # graft the keyframe's harvest + new seed batch onto THAT
+                    # branch so the next dispatch sees both (the reference's
+                    # asynchronous mapping thread has the same ordering)
+                    self.seeds = self._seeds_spec
+                # dispatch ALL keyframe device work before any host fetch
+                with self._t("feature_detection"):
+                    kf_dev = self._kf_map_dispatch(
+                        frame, out, distance_mean,
+                        0.5 * max(depth_min, 1e-3), thresh)
                 self._kf_sync(frame, out, already_synced=synced)
                 kf_idx = self.kfs.add(frame)
                 # CANDIDATE points observed here become UNKNOWN (addCandidatePointToFrame)
@@ -524,25 +665,26 @@ class FrameHandler:
                 self.points.type[cand] = TYPE_UNKNOWN
                 # observed points re-memoize their appearance from this view
                 # (getCloseViewObs analogue: recency ≈ closest viewing angle)
-                self._refresh_patch_sources(frame)
+                self._refresh_patch_sources(
+                    frame, buf=kf_dev["refresh_buf"],
+                    slot_rows=getattr(frame, "_slot_rows", None))
                 self.points.register_obs(frame)
                 # release points that left the field of view (bounded slot
                 # usage on long sequences; see PointTable.gc_stale)
                 self.points.gc_stale(kf_idx)
                 with self._t("local_ba"):
                     self._run_ba(frame)
-                # sparse frames get a laxer convergence bar (ref: 100 vs 200)
-                base_th = cfg.seed_converge_sigma2_thresh
-                thresh = base_th / 2.0 if n_inliers <= 70 else base_th
                 with self._t("feature_detection"):
-                    self._harvest_seeds()
-                    self._add_keyframe_seeds(frame, distance_mean,
-                                             0.5 * max(depth_min, 1e-3), thresh)
+                    self._kf_map_finish(kf_dev)
                 self._bump_map_version()
         else:
             self.regular_counter += 1
 
-        self.motion_model = se3np.mul(frame.T_f_w, se3np.inv(last.T_f_w))
+        if pipelined and is_kf:
+            self._seeds_spec = self.seeds
+        self.motion_model = se3np.mul(
+            frame.T_f_w, se3np.inv(np.asarray(prev_T_host, np.float64)))
+        self._last_T_host = frame.T_f_w
         self.pre_frames.append(frame)
         return FrameResult(result, frame.T_f_w, n_matches, n_inliers, n_upd,
                            err_px)
@@ -572,6 +714,7 @@ class FrameHandler:
         flags = sp[:, 10].astype(np.int32)
         keep = (flags & 3) == 3          # success & inlier
         w = np.where(keep)[0]
+        frame._slot_rows = w             # obs row i ↔ fused-step slot w[i]
         o = frame.obs
         rows = slice(0, len(w))
         o["valid"][rows] = True
@@ -975,15 +1118,42 @@ class FrameHandler:
         self._bump_map_version()          # new TEMPORARY landmarks
         return len(free)
 
-    def _refresh_patch_sources(self, frame: Frame) -> None:
+    def _refresh_patch_sources(self, frame: Frame, buf=None,
+                               slot_rows=None) -> None:
         """Re-memoize the appearance window of every point observed in this
         keyframe from the new view (Point::getCloseViewObs analogue — see
-        mapmodel/structures.py).  One batched window extraction."""
+        mapmodel/structures.py).  One batched window extraction.
+
+        ``buf``/``slot_rows``: pre-dispatched per-SLOT window buffer from
+        :meth:`_kf_map_dispatch` (its copy has been in flight since before
+        the kf_pack fetch) — valid only while the obs table is the pure
+        slot write-back (a sparse-frame seed rescue appends rows the slot
+        buffer does not cover, so those frames take the synchronous path).
+        """
         from hso_tpu.ops.warp import memoize_level_windows_packed
 
         o = frame.obs
         sel = o["valid"] & (o["point_id"] >= 0)
         if not sel.any():
+            return
+        if buf is not None and slot_rows is not None \
+                and sel.sum() == len(slot_rows):
+            buf = np.asarray(buf)
+            wins = buf[:, :-2].reshape(-1, 24, 24)[slot_rows]
+            anchors = buf[:, -2:].astype(np.int32)[slot_rows]
+            # write-back fills obs rows 0..len(w) in ascending slot order, so
+            # buf[slot_rows] is already in obs-row order
+            idxs = np.where(sel)[0]
+            pid = o["point_id"][idxs]
+            pts = self.points
+            pts.patch_kf[pid] = frame.kf_index
+            pts.patch_px[pid] = o["px"][idxs]
+            pts.patch_f[pid] = o["f"][idxs]
+            pts.patch_level[pid] = o["level"][idxs]
+            pts.patch_grad[pid] = o["grad"][idxs]
+            pts.patch_win[pid] = wins
+            pts.patch_anchor[pid] = anchors
+            self._mark_dirty(pid)
             return
         buf = np.asarray(memoize_level_windows_packed(
             frame.data["pyr"], jnp.asarray(o["px"], jnp.float32),
@@ -1054,18 +1224,87 @@ class FrameHandler:
             ]
         ).astype(np.float32)
 
-    def _harvest_seeds(self) -> int:
-        from hso_tpu.mapping.depth_filter import gather_seed_windows
+    def _kf_map_dispatch(self, frame: Frame, out, depth_mean, depth_min,
+                         converge_thresh) -> dict:
+        """Dispatch phase of the keyframe mapping work: every device kernel
+        (patch-source refresh windows, seed harvest, hybrid detection from
+        device-side occupancy, the new seed batch, pre-frame backfill) goes
+        out asynchronously BEFORE any host fetch — each early fetch costs a
+        full tunnel round-trip (~25 ms, artifacts/host_breakdown.json).
+        Host-side completion runs in :meth:`_kf_map_finish` after the BA,
+        by which time the async copies have landed."""
+        from hso_tpu.ops.warp import memoize_level_windows_packed
 
+        try:
+            out["kf_pack"].copy_to_host_async()
+        except AttributeError:  # pragma: no cover
+            pass
+        # per-slot patch-source windows (consumed by _refresh_patch_sources)
+        refresh_buf = memoize_level_windows_packed(
+            frame.data["pyr"], out["px"], out["level"])
+
+        # seed harvest (adaptive activation threshold from the
+        # convergence-rate statistic — nMeanConvergeFrame_,
+        # depth_filter.cpp:772-776)
         seeds_before = self.seeds
-        # adaptive activation threshold from the convergence-rate statistic
-        # (nMeanConvergeFrame_, depth_filter.cpp:772-776)
         min_act = float(np.clip(0.7 * self.mean_converge_frames, 3.0, 8.0))
         self.seeds, bundle = harvest_and_prune(
             self.seeds, self.batch_counter, jnp.asarray(self._ring_poses()),
             self.cfg.max_seed_kf_batches, min_act, float(self.cam.focal_mean),
         )
-        b = np.asarray(bundle)              # ONE device→host transfer
+
+        # detection with device-side occupancy (the step's kept matches +
+        # matched seeds — setExistingFeatures/setGridOccpuancy analogue)
+        px_occ = jnp.concatenate([out["px"], out["seed_match_px"]], axis=0)
+        v_occ = jnp.concatenate([out["success"] & out["inlier"],
+                                 out["seed_matched"]], axis=0)
+        occ = occupancy_grid(px_occ, v_occ, self.cam.height, self.cam.width,
+                             self._occ_cell)
+        d = frame.data
+        det = detect_features(
+            d["pyr"][:3], d["sobel_x"], d["sobel_y"], d["grad_mean"], occ,
+            n_out=self.cfg.n_fts_max,
+            with_gradient=bool(self.cfg.use_gradient_features))
+        f_det = self.cam.cam2world(det["px"]).astype(jnp.float32)
+
+        # new seed batch hosted in this keyframe (its index is assigned by
+        # the upcoming kfs.add — compute it prospectively)
+        kf_idx = len(self.kfs.frames)
+        self.batch_counter += 1
+        ring_slot = kf_idx % SEED_RING
+        self.seed_ring[ring_slot] = kf_idx
+        self.seeds = init_seeds(
+            self.seeds, det, frame.data["pyr"], f_det,
+            ring_slot, self.batch_counter, float(depth_mean),
+            float(max(depth_min, 1e-3)), float(converge_thresh),
+        )
+        # pre-frame backfill needs the new keyframe's pose in the ring —
+        # kfs.add has not run yet, so patch the ring buffers directly
+        ring_T = self._ring_poses()
+        ring_T[ring_slot] = frame.T_f_w.astype(np.float32)
+        ring_exp = np.array(
+            [self.kfs.exposure[i] if 0 <= i < len(self.kfs.exposure) else 1.0
+             for i in self.seed_ring], np.float32)
+        ring_exp[ring_slot] = frame.exposure
+        self._backfill_new_seeds(frame, ring_T=jnp.asarray(ring_T),
+                                 ring_exp=jnp.asarray(ring_exp))
+        try:
+            bundle.copy_to_host_async()
+            refresh_buf.copy_to_host_async()
+        except AttributeError:  # pragma: no cover
+            pass
+        return {"bundle": bundle, "seeds_before": seeds_before,
+                "refresh_buf": refresh_buf}
+
+    def _kf_map_finish(self, kf_dev: dict) -> int:
+        """Host-side completion of the keyframe seed harvest: fetch the
+        (pre-copied) bundle, apply the TEMPORARY lifecycle, promote/activate
+        converged seeds into the point table, and gather their appearance
+        windows."""
+        from hso_tpu.mapping.depth_filter import gather_seed_windows
+
+        seeds_before = kf_dev["seeds_before"]
+        b = np.asarray(kf_dev["bundle"])    # ONE device→host transfer
         conv = b[:, 0] > 0.5
         stale = b[:, 1] > 0.5
         temp_ids = b[:, 13].astype(np.int32)
@@ -1162,7 +1401,8 @@ class FrameHandler:
         )
         self._backfill_new_seeds(frame)
 
-    def _backfill_new_seeds(self, frame: Frame) -> None:
+    def _backfill_new_seeds(self, frame: Frame, ring_T=None,
+                            ring_exp=None) -> None:
         """Sweep seeds against retained pre-frames — the mapping thread's
         idle-time backfill (``observeDepthWithPreviousFrameOnce``,
         depth_filter.cpp:677-726), done synchronously at keyframe creation.
@@ -1180,13 +1420,16 @@ class FrameHandler:
             (self.seeds["batch_id"] == self.batch_counter)
             | (self.seeds["n_updates"] < 0.5)
         ) & self.seeds["valid"]
-        ring_T = jnp.asarray(self._ring_poses())
-        ring_exp = jnp.asarray(
-            np.array(
-                [self.kfs.exposure[i] if i >= 0 else 1.0 for i in self.seed_ring],
-                np.float32,
+        if ring_T is None:
+            ring_T = jnp.asarray(self._ring_poses())
+        if ring_exp is None:
+            ring_exp = jnp.asarray(
+                np.array(
+                    [self.kfs.exposure[i] if i >= 0 else 1.0
+                     for i in self.seed_ring],
+                    np.float32,
+                )
             )
-        )
         for pf in list(self.pre_frames):
             if pf is frame or pf.data is None or "sobel_x" not in pf.data:
                 continue
