@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from hso_tpu.ops.gatherless import clip_anchor, extract_windows
 
 PATCH = 8
-EW = 48                      #: per-seed search window edge
+EW = 40                      #: per-seed search window edge
 MAX_EPL = float(EW - PATCH - 4)  #: max epl length representable in a window
 MIN_EPL = 2.0
 AMBIGUITY_RATIO = 1.5        #: MIN_DISTANCE_ERROR_STEREO (matcher.cpp:796)
