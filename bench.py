@@ -18,9 +18,15 @@ Honesty protocol:
     which runs the live bootstrap and snapshots it at a keyframe event) so
     the bench itself resumes in seconds instead of re-running ~50 frames
     through the host loop each run;
-  * the BA problem solved in the timed scan is captured LIVE from the
-    keyframes the host-loop segment processes (fallback: the committed
-    ``artifacts/bench_ba.npz``, captured the same way at regen time);
+  * the windowed Schur BA in the timed scan is LIVE: a dense (P, KW)
+    observation ring grid rides in the scan carry, every keyframe step
+    registers its own inlier matches into its ring column, the last-KW
+    window (oldest rows gauge-fixed) is solved with the real solver
+    (hso_tpu/ba/local_ba.py), and the solution writes BACK into the carry —
+    keyframe poses, inverse distances, re-anchored world positions, and
+    outlier-stripped observations all feed subsequent frames.
+    (``artifacts/bench_ba.npz`` remains the captured problem used by the
+    multichip dryrun and scripts/dryrun_multiproc.sh);
   * the timed segment is a single ``lax.scan`` whose step calls THE SAME
     fused per-frame function the live pipeline dispatches
     (``FrameHandler._fused_step`` → hso_tpu/pipeline/fused_step.py), with
@@ -31,11 +37,10 @@ Honesty protocol:
     feature detection (feeding depth-filter seed init), update the keyframe
     pose registry and seed-host ring, harvest converged seeds and ACTIVATE
     them on-device into a reserved point-table region (they become
-    matchable on subsequent frames), and solve the windowed Schur BA on the
-    bootstrap-captured covisibility problem.  Remaining host-only residual
-    vs ``add_image``: BA window assembly/pose writeback and
-    success/fail-driven point lifecycle, which run at keyframe cadence in
-    the live loop;
+    matchable on subsequent frames), and solve + write back the LIVE
+    windowed BA (previous bullet).  Remaining host-only residual vs
+    ``add_image``: the success/fail-driven TEMPORARY point lifecycle,
+    which runs at keyframe cadence in the live loop;
   * the scan trajectory is checked against ground truth with scale-aligned
     ATE — if the RMSE gate fails, the bench prints ``"value": null`` and
     exits nonzero: a broken tracking loop cannot report a garbage-fast
@@ -257,11 +262,7 @@ def main() -> None:
     assert vo.stage == "default", f"host loop lost tracking: {vo.stage}"
     _phase(f"host loop timed: {host_fps:.2f} fps")
 
-    if cap.args is not None:
-        ba_args, ba_kw = cap.args, cap.kw
-    else:
-        ba_args, ba_kw = load_ba_problem(BA_NPZ)
-    from hso_tpu.pipeline.ba_glue import local_bundle_adjustment as orig_ba
+    from hso_tpu.ba.local_ba import local_bundle_adjustment
     from hso_tpu.image.pyramid import build_frame_pyramids
     from hso_tpu.math import se3
     from hso_tpu.mapping.depth_filter import harvest_and_prune, init_seeds
@@ -306,12 +307,37 @@ def main() -> None:
     kf0 = len(vo.kfs.frames)
     batch0 = vo.batch_counter
     TYPE_CAND_VALID = 8 + 2                 # pack_light(CANDIDATE, valid)
+    KW = int(cfg.n_kfs_window)              # live-BA sliding window (ring)
+    N_FIX_GAUGE = 4                         # oldest window kfs held fixed
 
     def padP(a, fill=0.0):
         pad = [(0, P_T - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
         return jnp.pad(a, pad, constant_values=fill)
 
     MUT_KEYS = ("light", "pos_w", "pt_pack", "species")
+
+    def _initial_obs_grid():
+        """Seed the scan's dense (P, KW) BA observation grid from the live
+        pipeline's registered keyframe observations (the last KW keyframes,
+        column = global kf index mod KW) — the first in-scan BA solves the
+        same covisibility window add_image would."""
+        meas = np.zeros((P_T, KW, 2), np.float32)
+        grad = np.zeros((P_T, KW, 2), np.float32)
+        edge = np.zeros((P_T, KW), bool)
+        level = np.zeros((P_T, KW), np.int32)
+        valid = np.zeros((P_T, KW), bool)
+        for kf in vo.kfs.frames[-KW:]:
+            c = kf.kf_index % KW
+            o = kf.obs
+            sel = o["valid"] & (o["point_id"] >= 0)
+            pid = o["point_id"][sel]
+            f = o["f"][sel]
+            meas[pid, c] = f[:, :2] / np.maximum(f[:, 2:3], 1e-9)
+            grad[pid, c] = o["grad"][sel]
+            edge[pid, c] = o["species"][sel] == 1
+            level[pid, c] = o["level"][sel]
+            valid[pid, c] = True
+        return meas, grad, edge, level, valid
 
     def make_state0(snap):
         st = {k: padP(snap[k]) for k in MUT_KEYS}
@@ -323,6 +349,18 @@ def main() -> None:
         st["kf_count"] = jnp.int32(kf0)
         st["batch"] = jnp.int32(batch0)
         st["cursor"] = jnp.int32(0)
+        # live-BA state: host anchoring + inverse distances + obs grid
+        pts = vo.points
+        st["f_host"] = padP(jnp.asarray(pts.host_f.astype(np.float32)))
+        st["host_kf"] = padP(jnp.asarray(pts.host_kf.astype(np.int32)),
+                             fill=-1)
+        st["idist"] = padP(jnp.asarray(pts.idist.astype(np.float32)))
+        m0, g0, e0, l0, v0 = _initial_obs_grid()
+        st["ba_meas"] = jnp.asarray(m0)
+        st["ba_grad"] = jnp.asarray(g0)
+        st["ba_edge"] = jnp.asarray(e0)
+        st["ba_level"] = jnp.asarray(l0)
+        st["ba_valid"] = jnp.asarray(v0)
         return st
 
     def step(carry, inp):
@@ -346,8 +384,63 @@ def main() -> None:
             st["ring_exp"] = st["ring_exp"].at[slot].set(out["exposure"])
             st["ring_kf"] = st["ring_kf"].at[slot].set(kf_idx)
 
-            # windowed Schur BA (captured covisibility problem)
-            ba = orig_ba(*ba_args, **ba_kw)
+            # ---- LIVE windowed Schur BA on the scan's own evolving state
+            # (ba::LocalBundleAdjustment on the live window,
+            # /root/reference/src/bundle_adjustment.cpp:556-897).
+            # 1. register this keyframe's observations into the dense
+            #    (P, KW) ring grid (column = kf index mod KW; registering
+            #    evicts the column of the keyframe that left the window)
+            col = jnp.mod(kf_idx, KW)
+            ok_slot = out["success"] & out["inlier"]
+            pid = jnp.where(ok_slot, out["cid"], TRASH)
+            f_c = out["f_cur"]
+            meas = f_c[:, :2] / jnp.maximum(f_c[:, 2:3], 1e-9)
+            st["ba_meas"] = st["ba_meas"].at[:, col].set(0.0).at[pid, col].set(meas)
+            st["ba_grad"] = st["ba_grad"].at[:, col].set(0.0).at[pid, col].set(
+                out["grad_cur"])
+            st["ba_edge"] = st["ba_edge"].at[:, col].set(False).at[pid, col].set(
+                out["species"] == 1)
+            st["ba_level"] = st["ba_level"].at[:, col].set(0).at[pid, col].set(
+                out["level"])
+            st["ba_valid"] = st["ba_valid"].at[:, col].set(False).at[pid, col].set(
+                ok_slot)
+            st["ba_valid"] = st["ba_valid"].at[TRASH].set(False)
+            # 2. assemble the window: the last KW keyframes, laid out by
+            #    their ring column; the oldest N_FIX_GAUGE (and kf 0) are
+            #    held fixed (the fixation-horizon gauge anchor,
+            #    bundle_adjustment.cpp:595-598)
+            base = kf_idx + 1 - KW
+            g_col = base + jnp.mod(jnp.arange(KW) - base, KW)
+            col_live = g_col >= 0
+            T_win = st["kf_poses"][jnp.clip(g_col, 0, None)]
+            free = col_live & (g_col != 0) & (g_col >= base + N_FIX_GAUGE)
+            pt_valid = st["light"] >= 8
+            host_in = (st["host_kf"] >= jnp.maximum(base, 0)) & (
+                st["host_kf"] <= kf_idx)
+            host_slot = jnp.mod(jnp.clip(st["host_kf"], 0, None), KW)
+            pvalid = pt_valid & host_in
+            obs_valid = (st["ba_valid"] & col_live[None, :] & pvalid[:, None]
+                         & (jnp.arange(KW)[None, :] != host_slot[:, None]))
+            obs = {"meas": st["ba_meas"], "grad": st["ba_grad"],
+                   "is_edgelet": st["ba_edge"], "level": st["ba_level"],
+                   "valid": obs_valid, "f_host": st["f_host"],
+                   "host": host_slot}
+            ba = local_bundle_adjustment(
+                T_win, free, st["idist"], pvalid, obs, n_kf=KW, n_pts=P_T,
+                n_iter=int(cfg.loba_num_iter), focal=float(cam.focal_mean))
+            # 3. write back: window keyframe poses, inverse distances, the
+            #    re-anchored world positions, and outlier-stripped obs
+            st["kf_poses"] = st["kf_poses"].at[jnp.clip(g_col, 0, None)].set(
+                jnp.where((col_live & free)[:, None, None], ba["T_kf"], T_win))
+            id_ok = pvalid & (ba["idist"] > 1e-10)
+            st["idist"] = jnp.where(id_ok, ba["idist"], st["idist"])
+            T_h = st["kf_poses"][jnp.clip(st["host_kf"], 0, None)]
+            pos_ba = se3.apply(
+                se3.inv(T_h),
+                st["f_host"] / jnp.maximum(st["idist"], 1e-9)[:, None])
+            st["pos_w"] = jnp.where(id_ok[:, None],
+                                    pos_ba.astype(jnp.float32), st["pos_w"])
+            st["ba_valid"] = st["ba_valid"] & (ba["obs_inlier"] | ~obs_valid)
 
             # seed harvest + device-side activation of converged seeds
             seeds_w = seeds  # windows needed for activation below
@@ -369,6 +462,12 @@ def main() -> None:
                             P0 + jnp.mod(st["cursor"] + off, R_RES), TRASH)
             st["pos_w"] = st["pos_w"].at[tgt].set(pos_new.astype(jnp.float32))
             st["light"] = st["light"].at[tgt].set(TYPE_CAND_VALID)
+            # live-BA anchoring of the activated point (host bearing /
+            # keyframe / inverse distance)
+            st["f_host"] = st["f_host"].at[tgt].set(f_s.astype(jnp.float32))
+            st["host_kf"] = st["host_kf"].at[tgt].set(
+                jnp.where(taken, st["ring_kf"][host_slot], -1))
+            st["idist"] = st["idist"].at[tgt].set(mu.astype(jnp.float32))
             hw = seeds_w["host_win"].shape[-1]
             c0 = (hw - 24) // 2
             new_rows = jnp.concatenate([
