@@ -8,15 +8,19 @@ its file:line citations into /root/reference):
   * The reference prints TRACKING-THREAD fps (frame_handler_base.cpp:
     121-127); its per-frame tracking work is pyramid construction, the
     coarse photometric aligner (4 levels x <=50 LM iterations with early
-    stop), and reprojection matching (~1.5x maxFts align attempts).  The
-    microbench measures exactly those loops, in the reference's arithmetic
-    (double-precision Jacobians, per-term buffer push_back), on this
-    machine's CPU.
-  * Everything else the reference spends time on per frame — undistortion
-    remap, feature management over pointer graphs, locks shared with the
-    mapping thread, allocation churn, keyframe detection/BA stalls — is
-    EXCLUDED, so the measured fps is an UPPER bound on the real reference
-    and the derived speedup is a LOWER bound.
+    stop), reprojection matching (~1.5x maxFts align attempts), the
+    per-frame undistortion remap (test_dataset.cpp:276 — EuRoC is
+    Pinhole+radtan), the motion-only pose LM (12 iterations,
+    pose_optimizer.cpp:399-771), and — at keyframes, ON the tracking
+    thread — LocalBundleAdjustment (frame_handler_mono.cpp:314-327),
+    amortized at the keyframe interval.  The microbench measures those
+    loops, in the reference's arithmetic (double-precision Jacobians,
+    per-term buffer push_back), on this machine's CPU.
+  * Everything else the reference spends time on per frame — feature
+    management over pointer graphs, covisibility upkeep, locks shared
+    with the mapping thread, allocation churn, g2o graph construction —
+    is EXCLUDED, so the measured fps is an UPPER bound on the real
+    reference and the derived speedup is a LOWER bound.
   * The unknowable-without-running-it quantity is the early-stop iteration
     count of the LM loops; the bench brackets it with a typical-converged
     point (10 iters/level) and the configured max (50), and anchors on the

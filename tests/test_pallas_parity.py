@@ -110,6 +110,19 @@ def test_pack_level_windows_parity(pyr):
 # ---------------------------------------------------------------- align
 
 
+_ALIGN_CACHE: dict = {}
+
+
+def _align_problem_cached(pyr, s=64, seed=2):
+    """One problem instance per (s, seed): the empty-mask test reuses the
+    parity test's shapes so its align/kernel traces hit the jit cache
+    instead of recompiling (~60 s saved on a contended suite run)."""
+    key = (s, seed)
+    if key not in _ALIGN_CACHE:
+        _ALIGN_CACHE[key] = _align_problem(pyr, s=s, seed=seed)
+    return _ALIGN_CACHE[key]
+
+
 def _align_problem(pyr, s=64, seed=2):
     """Candidates mixing corners/edgelets, border/far/invalid rows, on mixed
     pyramid levels — the exact input contract of the matcher glue."""
@@ -164,7 +177,7 @@ def test_align_match_parity(pyr):
     from hso_tpu.ops.align_pallas import align_match_tpu
     from hso_tpu.ops.gatherless import sample_gradient_in_windows
 
-    p = _align_problem(pyr)
+    p = _align_problem_cached(pyr)
     # XLA twin (the matcher's CPU branch, track/matcher.py:104-115)
     rm = align_mixed(p["is_edge"], p["direction"], p["ref_border"],
                      p["px_init"], n_iter=10, valid=p["valid"],
@@ -199,7 +212,7 @@ def test_align_match_empty_mask(pyr):
     from hso_tpu.ops.align import align_mixed
     from hso_tpu.ops.align_pallas import align_match_tpu
 
-    p = _align_problem(pyr, s=16, seed=5)
+    p = _align_problem_cached(pyr)
     dead = jnp.zeros_like(p["valid"])
     rm = align_mixed(p["is_edge"], p["direction"], p["ref_border"],
                      p["px_init"], n_iter=10, valid=dead,
