@@ -63,11 +63,14 @@ def main() -> None:
         "reference_cpu_fps_range": [round(fps_lo, 2), round(fps_hi, 2)],
         "note": (
             "measured hot-loop anchor: reference tracking-thread workload "
-            "(pyramid + 4-level coarse align + reprojection matching, "
-            "double-precision Jacobians) transcribed to C++ and timed on "
-            "this machine's CPU; geometric mean of the early-stop(10)/"
-            "max(50) LM-iteration brackets.  UPPER bound on the real "
-            "reference (undistort, feature management, locks, KF stalls "
+            "(pyramid + 4-level coarse align + reprojection matching + "
+            "per-frame undistort remap + pose LM + LocalBundleAdjustment "
+            "amortized at the keyframe interval, double-precision "
+            "Jacobians) transcribed to C++ and timed on this machine's "
+            "CPU; geometric mean of the early-stop(10)/max(50) "
+            "LM-iteration brackets.  UPPER bound on the real reference "
+            "(feature management over pointer graphs, covisibility "
+            "upkeep, locks, allocation churn, g2o graph construction "
             "excluded) => derived speedups are LOWER bounds."
         ),
         "literature_estimate_fps": 40.0,
