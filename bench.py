@@ -172,17 +172,16 @@ class _BACapture:
         import hso_tpu.pipeline.ba_glue as ba_glue
 
         self._mod = ba_glue
-        self._orig = ba_glue.local_bundle_adjustment
+        self._orig = ba_glue.solve_capture
 
-        def capturing(*args, **kw):
+        def capturing(args, kw):
             self.args, self.kw = args, kw
-            return self._orig(*args, **kw)
 
-        ba_glue.local_bundle_adjustment = capturing
+        ba_glue.solve_capture = capturing
         return self
 
     def __exit__(self, *exc):
-        self._mod.local_bundle_adjustment = self._orig
+        self._mod.solve_capture = self._orig
         return False
 
 

@@ -38,6 +38,16 @@ class Config:
     poseoptim_thresh: float = 2.0
     loba_thresh: float = 2.0        #: BA corner outlier-strip threshold [px]
     loba_num_iter: int = 10
+    loba_pose_writeback: bool = False  #: write BA-refined keyframe poses back
+    #: into the registry/trajectory.  The reference does (bundle_adjustment
+    #: .cpp:826-834) because its shared-memory tracker consumes them
+    #: continuously; this framework's synchronous chain deliberately keeps
+    #: the device pose cache pre-BA (ba_glue.py note), so recorded BA poses
+    #: are epoch-inconsistent with the tracked chain around them.  Measured
+    #: on boxseq-2200 (artifacts/boxseq_2200_ate.json): poses+idist 15.3 mm
+    #: RMSE / 161 mm max excursion; idist-only (this default) 3.5 mm /
+    #: 9.1 mm; no BA at all 3.2 mm / 7.7 mm.  Structure refinement and
+    #: outlier stripping stay on either way.
     max_n_kfs: int = 2000           #: keyframe registry capacity
     max_fts: int = 200              #: feature budget per frame
     quality_min_fts: int = 5

@@ -22,8 +22,24 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import functools
+
 from hso_tpu.ba.local_ba import local_bundle_adjustment
 from hso_tpu.math import se3np
+
+
+@functools.lru_cache(maxsize=16)
+def _jitted_local_ba(n_kf: int, n_pts: int, n_iter: int, focal: float,
+                     strip_px: float):
+    return jax.jit(functools.partial(
+        local_bundle_adjustment, n_kf=n_kf, n_pts=n_pts, n_iter=n_iter,
+        focal=focal, strip_px=strip_px))
+
+
+#: optional observer called with (args, kwargs) of every windowed-BA solve —
+#: bench.py's problem capture hooks in here (the solve itself is jitted, so
+#: monkeypatching the solver symbol would only see tracers)
+solve_capture = None
 
 
 @jax.jit
@@ -204,12 +220,18 @@ def run_local_ba(handler, center) -> dict | None:
             n_devices=cfg.ba_n_devices,
         )
     else:
-        out = local_bundle_adjustment(
-            jnp.asarray(T_kf), jnp.asarray(free), jnp.asarray(idist),
-            jnp.asarray(pvalid), obs, n_kf=K, n_pts=P, n_iter=n_iter,
-            focal=float(handler.cam.focal_mean),
-            strip_px=float(cfg.loba_thresh),
-        )
+        # jit the whole solve: the eager form dispatches hundreds of small
+        # ops individually — ~12 ms of pure per-op dispatch overhead through
+        # the axon tunnel for a solve whose on-device cost is <1 ms
+        args_c = (jnp.asarray(T_kf), jnp.asarray(free), jnp.asarray(idist),
+                  jnp.asarray(pvalid), obs)
+        if solve_capture is not None:
+            solve_capture(args_c, dict(
+                n_kf=K, n_pts=P, n_iter=n_iter,
+                focal=float(handler.cam.focal_mean),
+                strip_px=float(cfg.loba_thresh)))
+        out = _jitted_local_ba(K, P, n_iter, float(handler.cam.focal_mean),
+                               float(cfg.loba_thresh))(*args_c)
 
     # ---- writeback (ONE device→host transfer for all solver outputs) ----
     buf = np.asarray(_pack_ba_out(out["T_kf"], out["idist"],
@@ -220,8 +242,16 @@ def run_local_ba(handler, center) -> dict | None:
     id_new = buf[nT:nT + P]
     inl = buf[nT + P:nT + P + P * K].reshape(P, K) > 0.5
     chi2_init, chi2_final = buf[-2], buf[-1]
+    # Pose writeback is OFF by default (Config.loba_pose_writeback): the
+    # synchronous chain deliberately keeps the device pose cache pre-BA
+    # (below), so BA pose RECORDS are epoch-inconsistent with the tracked
+    # chain around them and measurably damage the keyframe trajectory
+    # (boxseq-2200: 15.3 mm RMSE / 161 mm max excursion with writeback vs
+    # 3.5 mm / 9.1 mm without; the reference's shared-memory tracker
+    # consumes BA poses continuously, bundle_adjustment.cpp:826-834, which
+    # this architecture does not).
     for kf_idx, s in kf_slot.items():
-        if free[s]:
+        if free[s] and cfg.loba_pose_writeback:
             handler.kfs.sync_pose(kf_idx, se3np.normalize(T_new[s]))
             if kf_idx == center.kf_index:
                 center.T_f_w = handler.kfs.poses[kf_idx]
