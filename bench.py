@@ -88,8 +88,12 @@ from hso_tpu.utils.synthetic import BoxScene
 REFERENCE_CPU_FPS_FALLBACK = 40.0  # used only if BASELINE_CPU.json is absent
 N_BOOT = 48                       # untimed real-pipeline bootstrap frames (regen)
 N_HOST = 16                       # frames timed through the host loop
-N_SCAN = 64                       # frames timed through the fused scan
-N_REPEATS = 3
+N_SCAN = 192                      # frames timed through the fused scan (the
+                                  # tunnel charges one ~24-60 ms round trip
+                                  # per dispatch; more frames per dispatch
+                                  # keep that documented-excluded overhead
+                                  # from polluting the per-frame figure)
+N_REPEATS = 2
 KF_EVERY = 6                      # amortised keyframe-work cadence
 
 BOOT_NPZ = os.path.join(ROOT, "artifacts", "bench_boot.npz")

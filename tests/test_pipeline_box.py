@@ -104,3 +104,28 @@ def test_box_trajectory_accuracy(run_vo_box):
     # a robustness gate, not a precision gate — precision is covered by the
     # frontal-plane e2e (rmse < 0.05).  Demand <10% of the ~1.1 m path.
     assert rmse < 0.11, (rmse, ate.max())
+
+
+def test_ba_pose_writeback_path_tracks():
+    """The non-default Config.loba_pose_writeback=True path (the
+    reference's semantics, bundle_adjustment.cpp:826-834) must still track
+    a short sequence without failures — the default records the tracked
+    chain instead (see the config docstring for the measured A/B)."""
+    import numpy as np
+
+    from hso_tpu.cameras import PinholeCamera
+    from hso_tpu.config import Config
+    from hso_tpu.pipeline.frame_handler import FrameHandler
+    from hso_tpu.utils.synthetic import PlaneScene
+    from test_pipeline_e2e import make_trajectory
+
+    cam = PinholeCamera(640, 480, 400.0, 400.0, 320.0, 240.0)
+    scene = PlaneScene(cam, z0=2.0, extent=4.0, seed=21)
+    poses = make_trajectory(24)
+    vo = FrameHandler(cam, Config(loba_pose_writeback=True))
+    n_fail = 0
+    for k, T in enumerate(poses):
+        r = vo.add_image(scene.render(T), ts=float(k))
+        n_fail += r.status == "failure"
+    assert vo.stage == "default" and n_fail == 0
+    assert len(vo.kfs.frames) >= 3
