@@ -312,6 +312,10 @@ def main() -> None:
     TYPE_CAND_VALID = 8 + 2                 # pack_light(CANDIDATE, valid)
     KW = int(cfg.n_kfs_window)              # live-BA sliding window (ring)
     N_FIX_GAUGE = 4                         # oldest window kfs held fixed
+    P_BA = 2048                             # compacted BA point slots (=
+                                            # cfg.n_points_ba_max; live rows
+                                            # + activation ring fit with 2x
+                                            # headroom)
 
     def padP(a, fill=0.0):
         pad = [(0, P_T - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
@@ -424,26 +428,47 @@ def main() -> None:
             pvalid = pt_valid & host_in
             obs_valid = (st["ba_valid"] & col_live[None, :] & pvalid[:, None]
                          & (jnp.arange(KW)[None, :] != host_slot[:, None]))
-            obs = {"meas": st["ba_meas"], "grad": st["ba_grad"],
-                   "is_edgelet": st["ba_edge"], "level": st["ba_level"],
-                   "valid": obs_valid, "f_host": st["f_host"],
-                   "host": host_slot}
+            # compact the problem to the windowed rows before solving: the
+            # full table is 4.6k slots but only ~0.5-1k are hosted in the
+            # window with observations — the solver's per-iteration cost
+            # scales with the (P, K) grid, so gather the live rows into a
+            # P_BA-slot problem and scatter the solution back (capacity
+            # P_BA >= live points + the activation ring, never exceeded)
+            has_obs = jnp.any(st["ba_valid"] & col_live[None, :], axis=1)
+            cand_b = pvalid & has_obs
+            _, rows_b = jax.lax.top_k(
+                jnp.where(cand_b, P_T - jnp.arange(P_T), 0), P_BA)
+            pv_b = cand_b[rows_b]
+            obs_b = {"meas": st["ba_meas"][rows_b],
+                     "grad": st["ba_grad"][rows_b],
+                     "is_edgelet": st["ba_edge"][rows_b],
+                     "level": st["ba_level"][rows_b],
+                     "valid": obs_valid[rows_b],
+                     "f_host": st["f_host"][rows_b],
+                     "host": host_slot[rows_b]}
             ba = local_bundle_adjustment(
-                T_win, free, st["idist"], pvalid, obs, n_kf=KW, n_pts=P_T,
-                n_iter=int(cfg.loba_num_iter), focal=float(cam.focal_mean))
+                T_win, free, st["idist"][rows_b], pv_b, obs_b, n_kf=KW,
+                n_pts=P_BA, n_iter=int(cfg.loba_num_iter),
+                focal=float(cam.focal_mean))
             # 3. write back: window keyframe poses, inverse distances, the
             #    re-anchored world positions, and outlier-stripped obs
             st["kf_poses"] = st["kf_poses"].at[jnp.clip(g_col, 0, None)].set(
                 jnp.where((col_live & free)[:, None, None], ba["T_kf"], T_win))
-            id_ok = pvalid & (ba["idist"] > 1e-10)
-            st["idist"] = jnp.where(id_ok, ba["idist"], st["idist"])
+            id_ok_b = pv_b & (ba["idist"] > 1e-10)
+            tgt_b = jnp.where(id_ok_b, rows_b, TRASH)
+            st["idist"] = st["idist"].at[tgt_b].set(
+                jnp.where(id_ok_b, ba["idist"], st["idist"][rows_b]))
+            st["ba_valid"] = st["ba_valid"].at[tgt_b].set(
+                st["ba_valid"][rows_b] & (ba["obs_inlier"] | ~obs_b["valid"]))
+            st["ba_valid"] = st["ba_valid"].at[TRASH].set(False)
+            id_ok = jnp.zeros((P_T,), bool).at[tgt_b].set(id_ok_b)
+            id_ok = id_ok.at[TRASH].set(False)
             T_h = st["kf_poses"][jnp.clip(st["host_kf"], 0, None)]
             pos_ba = se3.apply(
                 se3.inv(T_h),
                 st["f_host"] / jnp.maximum(st["idist"], 1e-9)[:, None])
             st["pos_w"] = jnp.where(id_ok[:, None],
                                     pos_ba.astype(jnp.float32), st["pos_w"])
-            st["ba_valid"] = st["ba_valid"] & (ba["obs_inlier"] | ~obs_valid)
 
             # seed harvest + device-side activation of converged seeds
             seeds_w = seeds  # windows needed for activation below
