@@ -23,7 +23,7 @@ from test_pipeline_e2e import make_trajectory
 def scene_and_frames():
     cam = PinholeCamera(640, 480, 400.0, 400.0, 320.0, 240.0)
     scene = PlaneScene(cam, z0=2.0, extent=4.0, seed=21)
-    poses = make_trajectory(36)
+    poses = make_trajectory(30)
     frames = [scene.render(T) for T in poses]
     return cam, poses, frames
 
@@ -82,7 +82,7 @@ def test_pipelined_entered_midstream(scene_and_frames):
     (the bench warms synchronously, then times the pipelined segment)."""
     cam, poses, frames = scene_and_frames
     vo = FrameHandler(cam)
-    split = 20
+    split = 16
     for k in range(split):
         vo.add_image(frames[k], ts=float(k))
     assert vo.stage == STAGE_DEFAULT
