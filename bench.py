@@ -324,27 +324,24 @@ def main() -> None:
     MUT_KEYS = ("light", "pos_w", "pt_pack", "species")
 
     def _initial_obs_grid():
-        """Seed the scan's dense (P, KW) BA observation grid from the live
-        pipeline's registered keyframe observations (the last KW keyframes,
-        column = global kf index mod KW) — the first in-scan BA solves the
-        same covisibility window add_image would."""
-        meas = np.zeros((P_T, KW, 2), np.float32)
-        grad = np.zeros((P_T, KW, 2), np.float32)
-        edge = np.zeros((P_T, KW), bool)
-        level = np.zeros((P_T, KW), np.int32)
-        valid = np.zeros((P_T, KW), bool)
+        """Seed the scan's dense (P, KW, 7) packed BA observation grid
+        ([meas_u, meas_v, grad_u, grad_v, edgelet, level, valid]) from the
+        live pipeline's registered keyframe observations (the last KW
+        keyframes, column = global kf index mod KW) — the first in-scan BA
+        solves the same covisibility window add_image would."""
+        pack = np.zeros((P_T, KW, 7), np.float32)
         for kf in vo.kfs.frames[-KW:]:
             c = kf.kf_index % KW
             o = kf.obs
             sel = o["valid"] & (o["point_id"] >= 0)
             pid = o["point_id"][sel]
             f = o["f"][sel]
-            meas[pid, c] = f[:, :2] / np.maximum(f[:, 2:3], 1e-9)
-            grad[pid, c] = o["grad"][sel]
-            edge[pid, c] = o["species"][sel] == 1
-            level[pid, c] = o["level"][sel]
-            valid[pid, c] = True
-        return meas, grad, edge, level, valid
+            pack[pid, c, 0:2] = f[:, :2] / np.maximum(f[:, 2:3], 1e-9)
+            pack[pid, c, 2:4] = o["grad"][sel]
+            pack[pid, c, 4] = o["species"][sel] == 1
+            pack[pid, c, 5] = o["level"][sel]
+            pack[pid, c, 6] = 1.0
+        return pack
 
     def make_state0(snap):
         st = {k: padP(snap[k]) for k in MUT_KEYS}
@@ -362,12 +359,7 @@ def main() -> None:
         st["host_kf"] = padP(jnp.asarray(pts.host_kf.astype(np.int32)),
                              fill=-1)
         st["idist"] = padP(jnp.asarray(pts.idist.astype(np.float32)))
-        m0, g0, e0, l0, v0 = _initial_obs_grid()
-        st["ba_meas"] = jnp.asarray(m0)
-        st["ba_grad"] = jnp.asarray(g0)
-        st["ba_edge"] = jnp.asarray(e0)
-        st["ba_level"] = jnp.asarray(l0)
-        st["ba_valid"] = jnp.asarray(v0)
+        st["ba_pack"] = jnp.asarray(_initial_obs_grid())
         return st
 
     def step(carry, inp):
@@ -402,16 +394,14 @@ def main() -> None:
             pid = jnp.where(ok_slot, out["cid"], TRASH)
             f_c = out["f_cur"]
             meas = f_c[:, :2] / jnp.maximum(f_c[:, 2:3], 1e-9)
-            st["ba_meas"] = st["ba_meas"].at[:, col].set(0.0).at[pid, col].set(meas)
-            st["ba_grad"] = st["ba_grad"].at[:, col].set(0.0).at[pid, col].set(
-                out["grad_cur"])
-            st["ba_edge"] = st["ba_edge"].at[:, col].set(False).at[pid, col].set(
-                out["species"] == 1)
-            st["ba_level"] = st["ba_level"].at[:, col].set(0).at[pid, col].set(
-                out["level"])
-            st["ba_valid"] = st["ba_valid"].at[:, col].set(False).at[pid, col].set(
-                ok_slot)
-            st["ba_valid"] = st["ba_valid"].at[TRASH].set(False)
+            row = jnp.concatenate([
+                meas, out["grad_cur"],
+                (out["species"] == 1).astype(jnp.float32)[:, None],
+                out["level"].astype(jnp.float32)[:, None],
+                ok_slot.astype(jnp.float32)[:, None]], axis=1)
+            st["ba_pack"] = (st["ba_pack"].at[:, col].set(0.0)
+                             .at[pid, col].set(row)
+                             .at[TRASH].set(0.0))
             # 2. assemble the window: the last KW keyframes, laid out by
             #    their ring column; the oldest N_FIX_GAUGE (and kf 0) are
             #    held fixed (the fixation-horizon gauge anchor,
@@ -426,7 +416,8 @@ def main() -> None:
                 st["host_kf"] <= kf_idx)
             host_slot = jnp.mod(jnp.clip(st["host_kf"], 0, None), KW)
             pvalid = pt_valid & host_in
-            obs_valid = (st["ba_valid"] & col_live[None, :] & pvalid[:, None]
+            obs_valid = ((st["ba_pack"][..., 6] > 0.5) & col_live[None, :]
+                         & pvalid[:, None]
                          & (jnp.arange(KW)[None, :] != host_slot[:, None]))
             # compact the problem to the windowed rows before solving: the
             # full table is 4.6k slots but only ~0.5-1k are hosted in the
@@ -434,15 +425,17 @@ def main() -> None:
             # scales with the (P, K) grid, so gather the live rows into a
             # P_BA-slot problem and scatter the solution back (capacity
             # P_BA >= live points + the activation ring, never exceeded)
-            has_obs = jnp.any(st["ba_valid"] & col_live[None, :], axis=1)
+            has_obs = jnp.any((st["ba_pack"][..., 6] > 0.5)
+                              & col_live[None, :], axis=1)
             cand_b = pvalid & has_obs
             _, rows_b = jax.lax.top_k(
                 jnp.where(cand_b, P_T - jnp.arange(P_T), 0), P_BA)
             pv_b = cand_b[rows_b]
-            obs_b = {"meas": st["ba_meas"][rows_b],
-                     "grad": st["ba_grad"][rows_b],
-                     "is_edgelet": st["ba_edge"][rows_b],
-                     "level": st["ba_level"][rows_b],
+            pk_b = st["ba_pack"][rows_b]
+            obs_b = {"meas": pk_b[..., 0:2],
+                     "grad": pk_b[..., 2:4],
+                     "is_edgelet": pk_b[..., 4] > 0.5,
+                     "level": pk_b[..., 5].astype(jnp.int32),
                      "valid": obs_valid[rows_b],
                      "f_host": st["f_host"][rows_b],
                      "host": host_slot[rows_b]}
@@ -458,9 +451,9 @@ def main() -> None:
             tgt_b = jnp.where(id_ok_b, rows_b, TRASH)
             st["idist"] = st["idist"].at[tgt_b].set(
                 jnp.where(id_ok_b, ba["idist"], st["idist"][rows_b]))
-            st["ba_valid"] = st["ba_valid"].at[tgt_b].set(
-                st["ba_valid"][rows_b] & (ba["obs_inlier"] | ~obs_b["valid"]))
-            st["ba_valid"] = st["ba_valid"].at[TRASH].set(False)
+            keep_b = (pk_b[..., 6] > 0.5) & (ba["obs_inlier"] | ~obs_b["valid"])
+            st["ba_pack"] = st["ba_pack"].at[tgt_b, :, 6].set(
+                keep_b.astype(jnp.float32)).at[TRASH].set(0.0)
             id_ok = jnp.zeros((P_T,), bool).at[tgt_b].set(id_ok_b)
             id_ok = id_ok.at[TRASH].set(False)
             T_h = st["kf_poses"][jnp.clip(st["host_kf"], 0, None)]
